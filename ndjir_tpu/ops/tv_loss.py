@@ -1,0 +1,184 @@
+"""Point-sampled total-variation regularizers for grid features.
+
+At each query point, the enclosing cell's corner feature f0 is compared with
+its +1 neighbours along each layout axis; the per-channel result is the L2
+norm of those forward differences.  Layout dispatch is by parameter family —
+the cosine/Lanczos interpolation variants share the same cell-based TV as
+their linear parents (the reference registers them under the same parameter
+scope, e.g. lanczos_voxel_feature.py:144 -> "voxel_feature").
+
+Semantics parity: csrc/grid_feature/total_variation_loss_cuda.cu (voxel,
+:45-85 fwd / :155-175 bwd), *_on_triplane (sqrt(du^2+dv^2) per plane),
+*_on_triline (|f1-f0| per line), *_on_voxel_hash (per level).  The backward
+stabilizes with rsqrt(s + 1e-12); ``sym_backward=False`` drops the gradient
+into the base corner f0 (reference backward kernel's template flag) — in JAX
+that is a stop_gradient on f0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ndjir_tpu.ops.grid import (
+    DEFAULT_MAX,
+    DEFAULT_MIN,
+    _corners,
+    _hash_index,
+    _to_grid,
+    hash_level_offsets,
+)
+
+
+@jax.custom_jvp
+def _tv_sqrt(s: jax.Array) -> jax.Array:
+    """sqrt with the reference's backward stabilization (rsqrt(s + 1e-12))."""
+    return jnp.sqrt(s)
+
+
+@_tv_sqrt.defjvp
+def _tv_sqrt_jvp(primals, tangents):
+    (s,), (ds,) = primals, tangents
+    y = jnp.sqrt(s)
+    return y, 0.5 * jax.lax.rsqrt(s + 1e-12) * ds
+
+
+def _base(f0: jax.Array, sym_backward: bool) -> jax.Array:
+    return f0 if sym_backward else jax.lax.stop_gradient(f0)
+
+
+def tv_loss_voxel(x: jax.Array, feature: jax.Array,
+                  vmin=DEFAULT_MIN, vmax=DEFAULT_MAX,
+                  sym_backward: bool = True) -> jax.Array:
+    """(..., 3), (G,G,G,D) -> (..., D)."""
+    Gx, Gy, Gz, D = feature.shape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+
+    flat = feature.reshape(-1, D)
+    sy, sx = Gz, Gy * Gz
+    ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
+
+    f000 = _base(flat[ix0 * sx + iy0 * sy + iz0], sym_backward)
+    f100 = flat[ix1 * sx + iy0 * sy + iz0]
+    f010 = flat[ix0 * sx + iy1 * sy + iz0]
+    f001 = flat[ix0 * sx + iy0 * sy + iz1]
+
+    s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
+    return _tv_sqrt(s)
+
+
+def tv_loss_triplane(x: jax.Array, feature: jax.Array,
+                     vmin=DEFAULT_MIN, vmax=DEFAULT_MAX,
+                     sym_backward: bool = True) -> jax.Array:
+    """(..., 3), (3,G,G,D) -> (..., D*3) (planes xy, yz, zx)."""
+    _, G, _, D = feature.shape
+    dtype = x.dtype
+    g1 = jnp.full((3,), G - 1, dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+
+    outs = []
+    for p, (au, av) in enumerate(((0, 1), (1, 2), (2, 0))):
+        plane = feature[p].reshape(-1, D)
+        u0, v0 = i0[..., au], i0[..., av]
+        u1, v1 = i1[..., au], i1[..., av]
+        f00 = _base(plane[u0 * G + v0], sym_backward)
+        f10 = plane[u1 * G + v0]
+        f01 = plane[u0 * G + v1]
+        s = (f10 - f00) ** 2 + (f01 - f00) ** 2
+        outs.append(_tv_sqrt(s))  # (..., D)
+    return jnp.stack(outs, axis=-1).reshape(*x.shape[:-1], D * 3)
+
+
+def tv_loss_triline(x: jax.Array, feature: jax.Array,
+                    vmin=DEFAULT_MIN, vmax=DEFAULT_MAX,
+                    sym_backward: bool = True) -> jax.Array:
+    """(..., 3), (3,G,D) -> (..., D*3)."""
+    _, G, D = feature.shape
+    dtype = x.dtype
+    g1 = jnp.full((3,), G - 1, dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+
+    outs = []
+    for ax in range(3):
+        line = feature[ax]
+        f0 = _base(line[i0[..., ax]], sym_backward)
+        f1 = line[i1[..., ax]]
+        outs.append(_tv_sqrt((f1 - f0) ** 2))
+    return jnp.stack(outs, axis=-1).reshape(*x.shape[:-1], D * 3)
+
+
+def tv_loss_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
+                       growth_factor: float = 1.5, T0: int = 2 ** 15,
+                       L: int = 16, D: int = 2,
+                       vmin=DEFAULT_MIN, vmax=DEFAULT_MAX,
+                       sym_backward: bool = True) -> jax.Array:
+    """(..., 3), (n_params,) -> (..., D*L), channel = d*L + l."""
+    dtype = x.dtype
+    vmin = jnp.asarray(vmin, dtype)
+    vmax = jnp.asarray(vmax, dtype)
+
+    per_level = []
+    for (off, G, T) in hash_level_offsets(G0, growth_factor, T0, L, D):
+        g1 = jnp.full((3,), G - 1, dtype)
+        xyz = _to_grid(x, g1, vmin, vmax)
+        xyz0, xyz1 = _corners(xyz, g1)
+        i0 = xyz0.astype(jnp.int32)
+        i1 = xyz1.astype(jnp.int32)
+        table = jax.lax.dynamic_slice_in_dim(feature, off, T * D).reshape(T, D)
+
+        ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+        ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
+        f000 = _base(table[_hash_index(ix0, iy0, iz0, T)], sym_backward)
+        f100 = table[_hash_index(ix1, iy0, iz0, T)]
+        f010 = table[_hash_index(ix0, iy1, iz0, T)]
+        f001 = table[_hash_index(ix0, iy0, iz1, T)]
+        s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
+        per_level.append(_tv_sqrt(s))  # (..., D)
+
+    stacked = jnp.stack(per_level, axis=-1)  # (..., D, L)
+    return stacked.reshape(*x.shape[:-1], D * L)
+
+
+def grid_tv_loss(encoding, params, x: jax.Array,
+                 sym_backward: bool = True) -> jax.Array:
+    """Dispatch TV over a GridEncoding's parameter family; returns the
+    per-point channel-concatenated TV map (..., C_total).
+
+    Mirrors the param-name-driven dispatch in reference loss.py:79-105 (for
+    triplaneline both families contribute, as the reference's parameter
+    iteration naturally does).
+    """
+    t = encoding.type
+    vmin, vmax = encoding.vmin, encoding.vmax
+    if t == "none":
+        return jnp.zeros((*x.shape[:-1], 1), dtype=x.dtype)
+    parts = []
+    if t in ("voxel_hash", "lanczos_voxel_hash"):
+        parts.append(tv_loss_voxel_hash(
+            x, params["F"], encoding.hash_G0, encoding.hash_growth,
+            encoding.hash_T0, encoding.hash_L, encoding.D, vmin, vmax,
+            sym_backward))
+    elif t.endswith("triplaneline"):
+        parts.append(tv_loss_triplane(x, params["plane_F"], vmin, vmax, sym_backward))
+        parts.append(tv_loss_triline(x, params["line_F"], vmin, vmax, sym_backward))
+    elif t.endswith("triplane"):
+        parts.append(tv_loss_triplane(x, params["F"], vmin, vmax, sym_backward))
+    elif t.endswith("triline"):
+        parts.append(tv_loss_triline(x, params["F"], vmin, vmax, sym_backward))
+    elif t.endswith("voxel"):
+        parts.append(tv_loss_voxel(x, params["F"], vmin, vmax, sym_backward))
+    else:
+        raise ValueError(f"Unknown grid type: {t}")
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
