@@ -1,0 +1,68 @@
+"""Full-image neural rendering (validation / render CLI).
+
+Re-design of reference renderer.py:212-272: one jitted chunk program
+(sample_points + pb_render at cos_anneal=1) streamed over all pixels of a
+downsampled view.  Host work is just pixel bookkeeping; the chunk loop feeds
+(raydir, camloc) and collects pixel colors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndjir_tpu.data.cameras import generate_all_pixels, generate_raydir_camloc
+from ndjir_tpu.render.renderer import make_mc_cdfs, pb_render
+from ndjir_tpu.render.sampler import sample_points
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def _render_chunk(params, camloc, raydir, conf):
+    B, R, _ = raydir.shape
+    cdfs = make_mc_cdfs(None, conf, B, R, dtype=raydir.dtype)
+    x_fg, t_fg, x_bg, t_bg, mask = sample_points(
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+    res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
+                    jnp.asarray(1.0), jnp.asarray(1.0), cdfs, conf)
+    return res["color_pixel"], res["normal_pixel"], res["obj_mask_pred"]
+
+
+def render_image(params, pose, intrinsic, resolution, conf,
+                 return_aux: bool = False):
+    """Render one view.  pose (1,4,4); intrinsic (1,3,3); resolution (W, H).
+
+    Returns NCHW float image in [0,1] (reference convention,
+    renderer.py:267-268), optionally plus normal/mask maps.
+    """
+    scale = 1.0 / 2 ** conf.valid.n_down_samples
+    W, H = resolution
+    W, H = int(W * scale), int(H * scale)
+    P = conf.valid.n_rays
+
+    intrinsic = intrinsic.copy()
+    intrinsic[:, :2, :] *= scale  # fx, fy, cx, cy, skew
+
+    xy = generate_all_pixels(W, H).reshape(1, H * W, 2)
+    _, m = divmod(W * H, P)
+    P = P - m  # shrink chunk so it divides the pixel count (reference :237-241)
+
+    rimage = np.zeros((1, H * W, 3), np.float32)
+    rnormal = np.zeros((1, H * W, 3), np.float32)
+    rmask = np.zeros((1, H * W, 1), np.float32)
+    for p in range(0, H * W, P):
+        xy_b = xy[:, p:p + P, :]
+        raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy_b)
+        color, normal, om = _render_chunk(
+            params, jnp.asarray(camloc), jnp.asarray(raydir), conf)
+        rimage[0, p:p + P] = np.asarray(color)[0]
+        rnormal[0, p:p + P] = np.asarray(normal)[0]
+        rmask[0, p:p + P] = np.asarray(om).reshape(1, -1, 1)[0] \
+            if om.ndim == 3 else np.asarray(om)[0]
+
+    rimage = np.clip(rimage.reshape(1, H, W, 3).transpose(0, 3, 1, 2), 0, 1)
+    if return_aux:
+        return rimage, rnormal.reshape(1, H, W, 3), rmask.reshape(1, H, W, 1)
+    return rimage

@@ -1,0 +1,207 @@
+"""Ray point sampling: stratified + NeuS hierarchical importance + background.
+
+The reference implements this as a *non-differentiable PythonFunction escape
+hatch* that re-enters the graph builder per iteration (reference:
+python/sampler.py:24-314).  Here the whole sampler is ordinary jit-traceable
+JAX inside the training step: static shapes (N0 -> N0 + M*U fg samples), an
+unrolled U-round upsampling loop, and jax.lax.stop_gradient in place of the
+reference's "no backward" (proposal SDF evals are data generation).
+
+Shapes (B rays-batch, R rays, N0 stratified, M per upsample, U rounds, Nb bg):
+  x_fg (B, R, N0+M*U, 3); t_fg (B, R, N0+M*U+1, 1);
+  x_bg (B, R, Nb, 4);     t_bg (B, R, Nb+1, 1);   hit mask (B, R, 1, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ndjir_tpu.models.fields import geometric_apply
+from ndjir_tpu.ops.intersect import ray_aabb_intersection, ray_sphere_intersection
+
+
+def _exclusive_cumprod(x: jax.Array, axis: int) -> jax.Array:
+    """cumprod with exclusive=True semantics (first element = 1)."""
+    cp = jnp.cumprod(x, axis=axis)
+    one = jnp.ones_like(jax.lax.slice_in_dim(cp, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis)
+
+
+def t_near_far(camloc: jax.Array, raydir: jax.Array, conf):
+    """Dispatch over the four t-range methods (reference: sampler.py:71-138).
+
+    Returns t_near/t_far (B, R, 1) and hit mask (B, R, 1).
+    """
+    method = conf.renderer.t_near_far_method
+    radius = conf.renderer.bounding_sphere_radius
+    B, R, _ = raydir.shape
+    if method == "intersect_with_r_sphere":
+        t_near, t_far, n_hits = ray_sphere_intersection(camloc, raydir, radius)
+        mask = (n_hits > 1.0).astype(camloc.dtype)
+    elif method == "intersect_with_aabb":
+        t_near, t_far, n_hits = ray_aabb_intersection(
+            camloc, raydir, [-radius] * 3, [radius] * 3)
+        mask = (n_hits > 1.0).astype(camloc.dtype)
+    elif method == "intersect_with_midpoint":
+        # midpoint of the chord through the sphere center projection
+        cv = jnp.sum(camloc[:, None, :] * raydir, axis=-1, keepdims=True)
+        midpoint = -cv  # raydir is unit
+        t_near = jnp.maximum(midpoint - radius, 0.0)
+        t_far = midpoint + radius
+        mask = jnp.ones((B, R, 1), camloc.dtype)
+    elif method == "intersect_with_camloc_dists":
+        d = jnp.linalg.norm(camloc, axis=-1, keepdims=True)[:, None, :]
+        t_near = jnp.broadcast_to(d - radius, (B, R, 1))
+        t_far = jnp.broadcast_to(d + radius, (B, R, 1))
+        mask = jnp.ones((B, R, 1), camloc.dtype)
+    else:
+        raise ValueError(f"Unsupported t_near_far method: {method}")
+    return t_near, t_far, mask
+
+
+def _camloc_dists_range(camloc, raydir, radius):
+    B, R, _ = raydir.shape
+    d = jnp.linalg.norm(camloc, axis=-1, keepdims=True)[:, None, :]
+    t_near = jnp.broadcast_to(d - radius, (B, R, 1))
+    t_far = jnp.broadcast_to(d + radius, (B, R, 1))
+    return t_near, t_far
+
+
+def sample_stratified(t_near, t_far, stratified_u, n_samples0):
+    """t_i = t_near + step * (i + u_i), step = (t_far - t_near) / N
+    (reference: sampler.py:140-165)."""
+    B, R, _ = t_far.shape
+    N = n_samples0
+    tn = t_near.reshape(B, R, 1, 1)
+    tf = t_far.reshape(B, R, 1, 1)
+    step = (tf - tn) / N
+    i = jnp.arange(N, dtype=t_near.dtype).reshape(1, 1, N, 1)
+    return tn + step * (i + stratified_u)
+
+
+def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
+    """One NeuS hierarchical upsampling round (reference: sampler.py:189-241).
+
+    t (B, R, Nt, 1) sorted -> (B, R, Nt + M, 1) sorted.
+    """
+    B, R, Nt, _ = t.shape
+    M = conf.renderer.n_samples1
+
+    x = camloc.reshape(B, 1, 1, 3) + t * raydir.reshape(B, R, 1, 3)
+    sdf, _, _ = geometric_apply(params["geometric-network"], x, conf)
+    sdf = jax.lax.stop_gradient(sdf)
+
+    ts_end = t[:, :, Nt - 1:Nt, :]
+
+    # robust section slope: clamped min of this and previous section's cos
+    sdf0, sdf1 = sdf[:, :, :-1, :], sdf[:, :, 1:, :]
+    t0, t1 = t[:, :, :-1, :], t[:, :, 1:, :]
+    sdfm = 0.5 * (sdf0 + sdf1)
+    cos_val1 = (sdf1 - sdf0) / (t1 - t0 + 1e-5)
+    cos_val0 = jnp.concatenate(
+        [jnp.ones((B, R, 1, 1), t.dtype), cos_val1[:, :, :-1, :]], axis=2)
+    cos_val = jnp.minimum(cos_val0, cos_val1)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0)
+
+    dist = t1 - t0
+    s0 = sdfm - cos_val * dist * 0.5
+    s1 = sdfm + cos_val * dist * 0.5
+
+    cdf0 = jax.nn.sigmoid(s0 * gain)
+    cdf1 = jax.nn.sigmoid(s1 * gain)
+    alpha = jnp.clip((cdf0 - cdf1 + 1e-5) / (cdf0 + 1e-5), 0.0, 1.0)
+    weights = (alpha * _exclusive_cumprod(1.0 - alpha, axis=2))[..., 0]  # (B,R,Nt-1)
+
+    # inverse-transform sampling over normalized section weights
+    weights = weights / jnp.sum(weights, axis=2, keepdims=True)
+    cumsum = jnp.cumsum(weights, axis=2)
+    if conf.renderer.deterministic:
+        uu = jnp.arange(M, dtype=t.dtype) / (M - 1 + 1.0 / M)  # in [0, 1)
+        uu = jnp.broadcast_to(uu.reshape(1, 1, M), (B, R, M))
+    else:
+        uu = u  # caller-provided uniforms (B, R, M)
+    idx = jax.vmap(jax.vmap(jnp.searchsorted))(cumsum, uu)  # (B, R, M)
+    idx = jnp.minimum(idx, Nt - 2)
+    cumsum0 = jnp.concatenate([jnp.zeros((B, R, 1), t.dtype), cumsum], axis=2)
+    denorm = jnp.take_along_axis(weights, idx, axis=2)
+    lower = jnp.take_along_axis(cumsum0, idx, axis=2)
+    ratio = ((uu - lower) / denorm).reshape(B, R, M, 1)
+
+    steps = jnp.concatenate(
+        [t[:, :, 1:, :] - t[:, :, :-1, :],
+         t_far.reshape(B, R, 1, 1) - ts_end], axis=2)  # (B, R, Nt, 1)
+    steps_idx = jnp.take_along_axis(steps, idx[..., None], axis=2)
+    ts_idx = jnp.take_along_axis(t, idx[..., None], axis=2)
+
+    t_new = ts_idx + steps_idx * ratio
+    t_new = jnp.clip(t_new, t_near.reshape(B, R, 1, 1),
+                     t_far.reshape(B, R, 1, 1))
+    t = jnp.concatenate([t, t_new], axis=2)
+    return jnp.sort(t, axis=2)
+
+
+def sample_importance(params, conf, camloc, raydir, t_near, t_far, t,
+                      rand_u=None):
+    """U rounds of hierarchical upsampling with gain 64 * 2^u
+    (reference: sampler.py:167-242).  Entirely inside jit; shapes static."""
+    U = conf.renderer.n_upsamples
+    base_gain = conf.renderer.sampling_sigmoid_gain
+    for u in range(U):
+        uu = None if rand_u is None else rand_u[u]
+        t = _upsample_round(params, conf, camloc, raydir, t_near, t_far, t,
+                            base_gain * 2 ** u, uu)
+    return t
+
+
+def sample_background(t_base, background_u):
+    """Inverse-distance background samples t = t_base / u, sorted
+    (reference: sampler.py:244-254)."""
+    B, R, _ = t_base.shape
+    t = t_base.reshape(B, R, 1, 1) / background_u
+    return jnp.sort(t, axis=2)
+
+
+def sample_points(params, camloc, raydir, stratified_u, background_u, conf,
+                  rand_u=None) -> Tuple[jax.Array, ...]:
+    """Full point-sampling pass (reference: sampler.py:256-299).
+
+    The proposal SDF evaluations run under stop_gradient: sampling is data
+    generation, not part of the differentiated graph (reference makes this a
+    non-differentiable PythonFunction; SURVEY.md section 1 "notable
+    inversion").
+    """
+    B, R, _ = raydir.shape
+    sg = jax.lax.stop_gradient
+    camloc_s, raydir_s = sg(camloc), sg(raydir)
+
+    t_near, t_far, mask = t_near_far(camloc_s, raydir_s, conf)
+    t = sample_stratified(t_near, t_far, stratified_u, conf.renderer.n_samples0)
+    t = sample_importance(
+        jax.tree_util.tree_map(sg, params), conf, camloc_s, raydir_s,
+        t_near, t_far, t, rand_u)
+    t = sg(t)
+
+    x_fg = camloc_s.reshape(B, 1, 1, 3) + t * raydir_s.reshape(B, R, 1, 3)
+    t_fg = jnp.concatenate([t, t_far.reshape(B, R, 1, 1)], axis=2)
+
+    if conf.background_modeling:
+        radius = conf.renderer.bounding_sphere_radius
+        t_near_bg, _ = _camloc_dists_range(camloc_s, raydir_s, radius)
+        t_base = t_far * mask + t_near_bg * (1.0 - mask)
+        t_bg = sample_background(t_base, background_u)
+        x_bg3 = camloc_s.reshape(B, 1, 1, 3) \
+            + t_bg[:, :, :-1, :] * raydir_s.reshape(B, R, 1, 3)
+        dists = jnp.linalg.norm(x_bg3, axis=3, keepdims=True) + 1e-6
+        x_bg = jnp.concatenate([x_bg3 / dists, 1.0 / dists], axis=-1)
+    else:
+        Nb = conf.renderer.n_bg_samples
+        x_bg = jnp.ones((B, R, Nb, 4), camloc.dtype)
+        t_bg = jnp.ones((B, R, Nb + 1, 1), camloc.dtype)
+
+    mask = mask.reshape(B, R, 1, 1)
+    return x_fg, t_fg, x_bg, sg(t_bg), sg(mask)

@@ -1,0 +1,192 @@
+"""Per-scene training driver (reference: python/train.py:33-165).
+
+One jitted+sharded train step does everything the reference's per-iteration
+host loop did (sampling included); the host only feeds ray batches and
+epoch-schedule scalars.  Extensions over the reference: full-state
+checkpoint/resume, persistent compilation cache, multi-device ray sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndjir_tpu.config import Config, save_config
+from ndjir_tpu.data.cameras import generate_raydir_camloc
+from ndjir_tpu.data.dataset import IDRDataset
+from ndjir_tpu.eval.image import psnr
+from ndjir_tpu.models.fields import init_model
+from ndjir_tpu.parallel.mesh import ShardingPlan
+from ndjir_tpu.render.image import render_image
+from ndjir_tpu.render.loss import total_loss
+from ndjir_tpu.train import schedules
+from ndjir_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ndjir_tpu.train.optim import OptState, apply_updates, init_optimizer
+from ndjir_tpu.utils.monitor import (
+    Monitor,
+    MonitorImage,
+    MonitorSeries,
+    MonitorTimeElapsed,
+    logger,
+)
+from ndjir_tpu.utils.runtime import setup_compilation_cache
+
+
+@partial(jax.jit, static_argnames=("conf",), donate_argnums=(0, 1))
+def train_step(params, opt_state, camloc, raydir, color_gt, obj_mask,
+               cos_anneal, lv_gain, lr_weight, lr_feat, step, conf):
+    def lossfn(p):
+        return total_loss(p, camloc, raydir, color_gt, obj_mask, cos_anneal,
+                          lv_gain, conf, step=step)
+
+    (loss, monitors), grads = jax.value_and_grad(lossfn, has_aux=True)(params)
+    params, opt_state, finite = apply_updates(
+        params, grads, opt_state, lr_weight, lr_feat, conf)
+    monitors["grads_finite"] = finite
+    return params, opt_state, monitors
+
+
+def setup_monitor_dir(conf, train: bool = True) -> str:
+    """Create <monitor_base>_<scene> and snapshot the config
+    (reference: helper.py:99-124)."""
+    scene = str(conf.data_path).rstrip("/").split("/")[-1]
+    monitor_path = f"{conf.monitor_base_path}_{scene}"
+    conf.monitor_path = monitor_path
+    if train:
+        os.makedirs(monitor_path, exist_ok=True)
+        save_config(conf, os.path.join(monitor_path, "config.yaml"))
+    return monitor_path
+
+
+class Trainer:
+    def __init__(self, conf: Config, dataset: Optional[IDRDataset] = None):
+        setup_compilation_cache()
+        self.conf = conf
+        self.monitor_path = setup_monitor_dir(conf, train=True)
+        self.ds = dataset if dataset is not None else IDRDataset(
+            conf, train=True, shuffle=True,
+            process_index=jax.process_index())
+        self.plan = ShardingPlan(conf)
+
+        key = jax.random.PRNGKey(0)
+        self.params = init_model(key, conf)
+        self.opt_state = init_optimizer(self.params)
+        self.params = self.plan.replicate(self.params)
+        self.opt_state = self.plan.replicate(self.opt_state)
+
+        self.lr_w_base, self.lr_f_base = schedules.scaled_base_lrs(conf)
+        self.start_epoch = 0
+        self._maybe_resume()
+        self._make_monitors()
+
+    def _maybe_resume(self):
+        ckpt_dir = os.path.join(self.monitor_path, "checkpoints")
+        latest = latest_checkpoint(ckpt_dir)
+        if latest:
+            self.params, self.opt_state, extra = load_checkpoint(
+                latest, self.params, self.opt_state)
+            self.params = self.plan.replicate(self.params)
+            self.opt_state = self.plan.replicate(self.opt_state)
+            self.start_epoch = int(extra.get("step", 0)) + 1
+            logger.info(f"Resumed from {latest} at epoch {self.start_epoch}")
+
+    def _make_monitors(self):
+        m = Monitor(self.monitor_path)
+        names = ["Training loss", "RGB loss", "Eikonal loss", "TV loss",
+                 "Mask loss", "Base color prior", "Roughness prior",
+                 "Specular reflectance prior", "Std roughness reg",
+                 "Std specular reflectance reg", "Gain"]
+        keys = ["loss", "loss_rgb", "loss_eikonal", "loss_tv", "loss_mask",
+                "prior_base_color", "prior_roughness",
+                "prior_specular_reflectance", "reg_std_roughness",
+                "reg_std_specular_reflectance", "gain"]
+        self.series = {k: MonitorSeries(n, m, verbose=(k == "loss"))
+                       for n, k in zip(names, keys)}
+        self.monitor_time = MonitorTimeElapsed("Training time", m)
+        Wl = self.ds.W // 2 ** self.conf.valid.n_down_samples
+        Hl = self.ds.H // 2 ** self.conf.valid.n_down_samples
+        self.monitor_psnr = MonitorSeries(f"PSNR {Wl}x{Hl}", m)
+        self.monitor_image = MonitorImage(f"Rendered image {Wl}x{Hl}", m)
+
+    # -- validation ---------------------------------------------------------
+    def validate(self, epoch: int, final: bool = False):
+        conf = self.conf
+        idx = conf.valid.index % self.ds.size
+        pose = self.ds.poses[idx:idx + 1]
+        intrinsic = self.ds.intrinsics[idx:idx + 1]
+        rimage = render_image(self.params, pose, intrinsic,
+                              (self.ds.W, self.ds.H), conf)
+        dn = 2 ** conf.valid.n_down_samples
+        gt = self.ds.images[idx][::dn, ::dn, :]
+        gt = gt[np.newaxis].transpose(0, 3, 1, 2)
+        h = min(gt.shape[2], rimage.shape[2])
+        w = min(gt.shape[3], rimage.shape[3])
+        self.monitor_image.add(epoch, rimage)
+        self.monitor_psnr.add(epoch, psnr(rimage[:, :, :h, :w],
+                                          gt[:, :, :h, :w]))
+        try:
+            from ndjir_tpu.extract.mc import extract_mesh_for_validation
+            extract_mesh_for_validation(self.params, self.conf,
+                                        self.monitor_path, epoch,
+                                        final=final, dataset=self.ds)
+        except ImportError:
+            pass
+
+    # -- main loop ----------------------------------------------------------
+    def train(self):
+        conf = self.conf
+        B = conf.train.batch_size
+        E = conf.train.epoch
+        iters = self.ds.iters_per_epoch
+        ckpt_dir = os.path.join(self.monitor_path, "checkpoints")
+
+        for epoch in range(self.start_epoch, E):
+            if (epoch != 0 and conf.valid.epoch_interval > 0
+                    and epoch % conf.valid.epoch_interval == 0
+                    and not conf.valid.skip):
+                self.validate(epoch)
+
+            lr_w = schedules.learning_rate(epoch, self.lr_w_base, conf)
+            lr_f = schedules.learning_rate(epoch, self.lr_f_base, conf)
+            car = schedules.cos_anneal_ratio(epoch, conf)
+            lvg = schedules.light_visibility_gain(epoch, conf)
+
+            mon: Dict[str, Any] = {}
+            for it in range(iters):
+                color, mask, intrinsic, pose, xy = self.ds.next_batch(B)
+                raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy)
+                camloc, raydir, color, mask = self.plan.shard_batch(
+                    camloc, raydir, color, mask)
+                step = jnp.asarray(epoch * iters + it, jnp.int32)
+                self.params, self.opt_state, mon = train_step(
+                    self.params, self.opt_state, camloc, raydir, color, mask,
+                    jnp.asarray(car, jnp.float32), jnp.asarray(lvg, jnp.float32),
+                    jnp.asarray(lr_w, jnp.float32), jnp.asarray(lr_f, jnp.float32),
+                    step, conf)
+
+            for k, s in self.series.items():
+                s.add(epoch, mon[k])
+            if not bool(mon["grads_finite"]):
+                logger.info(f"Non-finite grads at epoch {epoch} (skipped)")
+            self.monitor_time.add(epoch)
+
+            if (conf.train.checkpoint_interval_epochs > 0
+                    and (epoch + 1) % conf.train.checkpoint_interval_epochs == 0):
+                save_checkpoint(ckpt_dir, epoch, self.params, self.opt_state,
+                                keep=conf.train.keep_checkpoints)
+
+        save_checkpoint(ckpt_dir, E - 1, self.params, self.opt_state,
+                        keep=conf.train.keep_checkpoints)
+        if not conf.valid.skip:
+            self.validate(E - 1, final=True)
+        return self.params

@@ -1,0 +1,161 @@
+"""Native mesh library, extraction pipeline, and eval metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ndjir_tpu.extract.native import (
+    connected_components,
+    marching_cubes,
+    sample_surface,
+)
+
+
+def _sphere_vol(G=40, r=0.5):
+    lin = np.linspace(-1, 1, G).astype(np.float32)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    return np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - r
+
+
+def test_marching_tetrahedra_sphere():
+    G, r = 40, 0.5
+    verts, tris = marching_cubes(_sphere_vol(G, r), 0.0)
+    assert len(verts) > 500 and len(tris) > 500
+    w = verts * 2 / (G - 1) - 1
+    rad = np.linalg.norm(w, axis=1)
+    np.testing.assert_allclose(rad.mean(), r, atol=0.01)
+    assert rad.std() < 0.01
+    # indexed mesh: all triangle indices valid, vertices welded (shared)
+    assert tris.max() < len(verts)
+    assert len(verts) < 3 * len(tris)  # welding actually shared vertices
+
+
+def test_connected_components_two_spheres():
+    G = 40
+    lin = np.linspace(-1, 1, G).astype(np.float32)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    vol = np.minimum(np.sqrt((X - 0.5) ** 2 + Y ** 2 + Z ** 2),
+                     np.sqrt((X + 0.5) ** 2 + Y ** 2 + Z ** 2)) - 0.25
+    verts, tris = marching_cubes(vol, 0.0)
+    labels = connected_components(tris, len(verts))
+    assert labels.max() + 1 == 2
+
+
+def test_sample_surface_uniform():
+    G, r = 40, 0.5
+    verts, tris = marching_cubes(_sphere_vol(G, r), 0.0)
+    w = verts * 2 / (G - 1) - 1
+    pts = sample_surface(w, tris, 8000, seed=3)
+    rad = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(rad.mean(), r, atol=0.01)
+    # roughly uniform over the sphere: octant counts balanced
+    octant = (pts[:, 0] > 0).astype(int) * 4 + (pts[:, 1] > 0) * 2 + (pts[:, 2] > 0)
+    counts = np.bincount(octant, minlength=8)
+    assert counts.min() > 0.6 * counts.max()
+
+
+def test_mesh_io_roundtrip(tmp_path):
+    from ndjir_tpu.utils.mesh_io import load_obj, save_obj, save_ply_mesh
+
+    verts, tris = marching_cubes(_sphere_vol(24), 0.0)
+    colors = np.random.RandomState(0).uniform(0, 1, (len(verts), 3))
+    p = str(tmp_path / "m.obj")
+    save_obj(p, verts, tris, colors)
+    V, F, C = load_obj(p)
+    np.testing.assert_allclose(V, verts, atol=1e-5)
+    np.testing.assert_array_equal(F, tris)
+    np.testing.assert_allclose(C, colors, atol=1e-5)
+    save_ply_mesh(str(tmp_path / "m.ply"), verts, tris, colors)
+    assert os.path.getsize(str(tmp_path / "m.ply")) > 0
+
+
+def test_extract_pipeline(tmp_path):
+    """Extraction on the sphere-SDF geometric init produces the full
+    attribute-mesh family + env map."""
+    import glob
+
+    import jax
+
+    from ndjir_tpu.config import load_config
+    from ndjir_tpu.extract.mc import extract
+    from ndjir_tpu.models.fields import init_model
+
+    conf = load_config("tiny_test", overrides=[
+        "extraction.rough_grid_size=32", "extraction.grid_size=32",
+        "extraction.batch_size=4096"])
+    params = init_model(jax.random.PRNGKey(0), conf)
+    out = extract(params, conf, str(tmp_path), "m", train=True)
+    assert out
+    objs = sorted(glob.glob(str(tmp_path / "*.obj")))
+    names = "".join(objs)
+    for attr in ["base_color", "implicit_illumination", "roughness",
+                 "specular_reflectance", "roughness_std",
+                 "specular_reflectance_std"]:
+        assert attr in names, attr
+    assert os.path.exists(str(tmp_path / "environment_map.png"))
+
+    # geometry sanity: raw mesh approximates the init sphere (r=0.35)
+    from ndjir_tpu.utils.mesh_io import load_obj
+    V, F, _ = load_obj(objs[0])
+    rad = np.linalg.norm(V, axis=1)
+    assert abs(rad.mean() - conf.geometric_network.initial_sphere_radius) < 0.1
+
+
+def test_chamfer_roundtrip(tmp_path):
+    """Chamfer of a mesh against a point cloud sampled from itself ~ 0;
+    against an offset mesh ~ the offset."""
+    from ndjir_tpu.config import load_config
+    from ndjir_tpu.data.synthetic import make_synthetic_scene
+    from ndjir_tpu.eval.chamfer import evaluate_by_chamfer
+    from ndjir_tpu.utils.mesh_io import save_obj, save_ply_points
+
+    G, r = 32, 0.5
+    verts, tris = marching_cubes(_sphere_vol(G, r), 0.0)
+    w = (verts * 2 / (G - 1) - 1).astype(np.float32)
+    mesh_path = str(tmp_path / "mesh.obj")
+    save_obj(mesh_path, w, tris)
+
+    # reference STL cloud = dense samples of the same surface
+    ref_dir = tmp_path / "ref"
+    (ref_dir / "Points" / "stl").mkdir(parents=True)
+    stl_pts = sample_surface(w, tris, 20000, seed=5)
+    save_ply_points(str(ref_dir / "Points" / "stl" / "stl001_total.ply"),
+                    stl_pts)
+
+    scene = make_synthetic_scene(str(tmp_path / "scene"), n_views=2, H=16,
+                                 W=16)
+    conf = load_config("tiny_test", overrides=[
+        f"data_path={scene}",
+        f"valid.dtumvs.mesh_path={mesh_path}",
+        "valid.dtumvs.scan=1",
+        f"valid.dtumvs.ref_dir={ref_dir}",
+        f"valid.dtumvs.vis_out_dir={tmp_path}",
+        "valid.dtumvs.downsample_density=0.05",
+        "valid.filter_iters=0",
+    ])
+    res = evaluate_by_chamfer(conf)
+    assert res is not None
+    d2s, s2d, mean = res
+    assert mean < 0.05, res
+    assert os.path.exists(str(tmp_path / "vis_001_d2s.ply"))
+    assert os.path.exists(str(tmp_path / "vis_001_s2d.ply"))
+
+
+def test_psnr_ssim_basics(rng):
+    from ndjir_tpu.eval.image import psnr, ssim
+    from ndjir_tpu.eval.rendered import masked_psnr, masked_ssim
+
+    img = rng.uniform(0, 1, (32, 32, 3))
+    assert psnr(img, img) == float("inf")
+    noisy = np.clip(img + rng.randn(32, 32, 3) * 0.1, 0, 1)
+    p = psnr(img, noisy)
+    assert 15 < p < 30
+    assert ssim(img, img) > 0.999
+    assert ssim(img, noisy) < 0.99
+
+    a255, b255 = img * 255, noisy * 255
+    mask = np.ones((32, 32, 1))
+    np.testing.assert_allclose(masked_psnr(a255, b255, mask),
+                               psnr(img, noisy), atol=0.02)
+    assert masked_ssim(a255, a255) > 0.999

