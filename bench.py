@@ -57,18 +57,27 @@ def main():
     args = (jnp.float32(0.5), jnp.float32(1.0), jnp.float32(5e-4),
             jnp.float32(5e-4))
 
+    import numpy as np
+
+    def sync(tree):
+        # On the axon tunnel, block_until_ready can return before remote
+        # execution finishes; a host transfer of a param leaf is the only
+        # reliable barrier (it depends on the whole chained computation).
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(leaf.ravel()[:1])
+
     # warmup / compile
     params, opt_state, mon = train_step(
         params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
         jnp.int32(0), conf)
-    jax.block_until_ready((params, opt_state, mon))
+    sync((params, mon))
 
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, mon = train_step(
             params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
             jnp.int32(i + 1), conf)
-    jax.block_until_ready((params, opt_state, mon))
+    sync((params, mon))
     dt = time.perf_counter() - t0
 
     rays_per_s = B * R * n_steps / dt

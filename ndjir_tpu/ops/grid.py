@@ -33,6 +33,7 @@ the hot paths where XLA's gather falls short.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -40,9 +41,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ndjir_tpu.ops.scatter_pallas import gather_rows
+
 Vec3 = Sequence[float]
 DEFAULT_MIN = (-1.0, -1.0, -1.0)
 DEFAULT_MAX = (1.0, 1.0, 1.0)
+
+
+def _gather_weighted_sum(flat: jax.Array, idx_list, w_list) -> jax.Array:
+    """sum_c w_c * flat[idx_c] via ONE batched gather_rows call.
+
+    Batching all corner/tap lookups into a single gather gives the backward a
+    single fast scatter (ndjir_tpu.ops.scatter_pallas) instead of one XLA
+    scatter per tap.
+    """
+    C = len(idx_list)
+    idx = jnp.stack(idx_list, axis=0)          # (C, ...)
+    w = jnp.stack(w_list, axis=0)              # (C, ...)
+    f = gather_rows(flat, idx.reshape(C, -1))  # (C, n, D)
+    f = f.reshape(*idx.shape, flat.shape[-1])
+    return jnp.sum(w[..., None] * f, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -90,10 +108,20 @@ def init_voxel(key: jax.Array, G: int, D: int, eps: float = 1e-3,
     return eps * jax.random.normal(key, (G, G, G, D), dtype=dtype)
 
 
+_ZDUP_MAX_BYTES = int(os.environ.get("NDJIR_ZDUP_MAX_BYTES", 1_500_000_000))
+
+
 def query_voxel(x: jax.Array, feature: jax.Array,
                 vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
                 weight: str = "linear") -> jax.Array:
-    """Trilinear (or cosine-weighted) dense-grid query: (..., 3) -> (..., D)."""
+    """Trilinear (or cosine-weighted) dense-grid query: (..., 3) -> (..., D).
+
+    TPU fast path: gathers are gather-unit-rate-bound (~13 ns/row measured
+    regardless of row size), so for tables where the doubled layout fits a
+    budget the z-corner pair is duplicated into 2D-wide rows — 4 gathers per
+    point instead of 8 (27 -> 19 ms for 262k points at G=256).  XLA CSE
+    dedupes the duplicated-table build across all query sites in a step.
+    """
     Gx, Gy, Gz, D = feature.shape
     dtype = x.dtype
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
@@ -103,10 +131,37 @@ def query_voxel(x: jax.Array, feature: jax.Array,
 
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
-    flat = feature.reshape(-1, D)
     sy, sx = Gz, Gy * Gz
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    use_zdup = (Gx * Gy * Gz * 2 * D * feature.dtype.itemsize
+                <= _ZDUP_MAX_BYTES)
+    if use_zdup:
+        fz = jnp.concatenate(
+            [feature,
+             jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
+            axis=-1)                     # (G,G,G,2D): row z holds (z, z+1)
+        flat2 = fz.reshape(-1, 2 * D)
+        wz0 = w0[..., 2:3]
+        wz1 = w1[..., 2:3]
+        iz = i0[..., 2]
+        idx_list, w_list = [], []
+        for cx in range(2):
+            ix = (i0 if cx == 0 else i1)[..., 0]
+            wx = (w0 if cx == 0 else w1)[..., 0]
+            for cy in range(2):
+                iy = (i0 if cy == 0 else i1)[..., 1]
+                wy = (w0 if cy == 0 else w1)[..., 1]
+                idx_list.append(ix * sx + iy * sy + iz)
+                w_list.append(wx * wy)
+        C = len(idx_list)
+        idx = jnp.stack(idx_list, axis=0)
+        w = jnp.stack(w_list, axis=0)
+        f = gather_rows(flat2, idx.reshape(C, -1)).reshape(*idx.shape, 2 * D)
+        pair = wz0 * f[..., :D] + wz1 * f[..., D:]
+        return jnp.sum(w[..., None] * pair, axis=0)
+
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
     for cx in range(2):
         ix = (i0 if cx == 0 else i1)[..., 0]
         wx = (w0 if cx == 0 else w1)[..., 0]
@@ -116,9 +171,9 @@ def query_voxel(x: jax.Array, feature: jax.Array,
             for cz in range(2):
                 iz = (i0 if cz == 0 else i1)[..., 2]
                 wz = (w0 if cz == 0 else w1)[..., 2]
-                f = flat[ix * sx + iy * sy + iz]
-                out = out + (wx * wy * wz)[..., None] * f
-    return out
+                idx_list.append(ix * sx + iy * sy + iz)
+                w_list.append(wx * wy * wz)
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 def query_voxel_lanczos(x: jax.Array, feature: jax.Array,
@@ -146,16 +201,16 @@ def query_voxel_lanczos(x: jax.Array, feature: jax.Array,
             coef.append(c)
         taps.append((pos, coef))
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    idx_list, w_list = [], []
     (px, cx), (py, cy), (pz, cz) = taps
     for i in range(2 * a):
         for j in range(2 * a):
             wij = cx[i] * cy[j]
             base_ij = px[i] * sx + py[j] * sy
             for k in range(2 * a):
-                f = flat[base_ij + pz[k]]
-                out = out + (wij * cz[k])[..., None] * f
-    return out
+                idx_list.append(base_ij + pz[k])
+                w_list.append(wij * cz[k])
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 # ---------------------------------------------------------------------------
@@ -184,17 +239,20 @@ def query_triplane(x: jax.Array, feature: jax.Array,
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    # one flat (3*G*G, D) table so all 12 taps batch into one gather
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
     for p, (au, av) in enumerate(_PLANE_AXES):
-        plane = feature[p].reshape(-1, D)
+        off = p * G * G
         for cu in range(2):
             iu = (i0 if cu == 0 else i1)[..., au]
             wu = (w0 if cu == 0 else w1)[..., au]
             for cv in range(2):
                 iv = (i0 if cv == 0 else i1)[..., av]
                 wv = (w0 if cv == 0 else w1)[..., av]
-                out = out + (wu * wv)[..., None] * plane[iu * G + iv]
-    return out
+                idx_list.append(off + iu * G + iv)
+                w_list.append(wu * wv)
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 def query_triplane_lanczos(x: jax.Array, feature: jax.Array,
@@ -212,14 +270,15 @@ def query_triplane_lanczos(x: jax.Array, feature: jax.Array,
             for ax in range(3)]
     ipos = [[p.astype(jnp.int32) for p in pos[ax]] for ax in range(3)]
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
     for p, (au, av) in enumerate(_PLANE_AXES):
-        plane = feature[p].reshape(-1, D)
+        off = p * G * G
         for i in range(2 * a):
             for j in range(2 * a):
-                w = coef[au][i] * coef[av][j]
-                out = out + w[..., None] * plane[ipos[au][i] * G + ipos[av][j]]
-    return out
+                idx_list.append(off + ipos[au][i] * G + ipos[av][j])
+                w_list.append(coef[au][i] * coef[av][j])
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 # ---------------------------------------------------------------------------
@@ -244,12 +303,15 @@ def query_triline(x: jax.Array, feature: jax.Array,
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
     for ax in _LINE_AXES:
-        line = feature[ax]
-        out = out + w0[..., ax, None] * line[i0[..., ax]]
-        out = out + w1[..., ax, None] * line[i1[..., ax]]
-    return out
+        off = ax * G
+        idx_list.append(off + i0[..., ax])
+        w_list.append(w0[..., ax])
+        idx_list.append(off + i1[..., ax])
+        w_list.append(w1[..., ax])
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 def query_triline_lanczos(x: jax.Array, feature: jax.Array,
@@ -261,14 +323,15 @@ def query_triline_lanczos(x: jax.Array, feature: jax.Array,
     xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
     xyz0 = jnp.floor(xyz)
 
-    out = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
     for ax in _LINE_AXES:
-        line = feature[ax]
+        off = ax * G
         for o in range(-a + 1, a + 1):
             p = jnp.clip(xyz0[..., ax] + o, 0.0, g1[ax])
-            c = lanczos_window(xyz[..., ax] - p, a)
-            out = out + c[..., None] * line[p.astype(jnp.int32)]
-    return out
+            idx_list.append(off + p.astype(jnp.int32))
+            w_list.append(lanczos_window(xyz[..., ax] - p, a))
+    return _gather_weighted_sum(flat, idx_list, w_list)
 
 
 # ---------------------------------------------------------------------------
@@ -344,17 +407,22 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
     vmax = jnp.asarray(vmax, dtype)
     levels = hash_level_offsets(G0, growth_factor, T0, L, D)
 
+    # All level offsets are 8-aligned (common_voxel_hash.cuh:24-28), so for
+    # D in {1,2,4,8} the flat buffer can be viewed as (n_params/D, D) rows
+    # and every level+corner lookup batches into ONE gather (one fast
+    # scatter in the backward).
+    flat = feature.reshape(-1, D)
     per_level = []
+    idx_list, w_list = [], []
     for (off, G, T) in levels:
+        assert off % D == 0, "level offset not divisible by feature dim"
+        row0 = off // D
         g1 = jnp.full((3,), G - 1, dtype)
         xyz = _to_grid(x, g1, vmin, vmax)
         xyz0, xyz1 = _corners(xyz, g1)
         w0, w1 = _weights(xyz, xyz0, xyz1, "linear")
         i0 = xyz0.astype(jnp.int32)
         i1 = xyz1.astype(jnp.int32)
-
-        table = jax.lax.dynamic_slice_in_dim(feature, off, T * D).reshape(T, D)
-        acc = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
         for cx in range(2):
             ix = (i0 if cx == 0 else i1)[..., 0]
             wx = (w0 if cx == 0 else w1)[..., 0]
@@ -364,11 +432,14 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
                 for cz in range(2):
                     iz = (i0 if cz == 0 else i1)[..., 2]
                     wz = (w0 if cz == 0 else w1)[..., 2]
-                    idx = _hash_index(ix, iy, iz, T)
-                    acc = acc + (wx * wy * wz)[..., None] * table[idx]
-        per_level.append(acc)  # (..., D)
-
-    stacked = jnp.stack(per_level, axis=-1)  # (..., D, L)
+                    idx_list.append(row0 + _hash_index(ix, iy, iz, T))
+                    w_list.append(wx * wy * wz)
+    C = len(idx_list)  # 8 * L
+    idx = jnp.stack(idx_list, axis=0)
+    w = jnp.stack(w_list, axis=0)
+    f = gather_rows(flat, idx.reshape(C, -1)).reshape(*idx.shape, D)
+    acc = (w[..., None] * f).reshape(L, 8, *x.shape[:-1], D).sum(axis=1)
+    stacked = jnp.moveaxis(acc, 0, -1)       # (..., D, L)
     return stacked.reshape(*x.shape[:-1], D * L)
 
 
@@ -383,12 +454,15 @@ def query_voxel_hash_lanczos(x: jax.Array, feature: jax.Array, G0: int = 16,
     vmax = jnp.asarray(vmax, dtype)
     levels = hash_level_offsets(G0, growth_factor, T0, L, D)
 
-    per_level = []
+    flat = feature.reshape(-1, D)
+    n_taps = (2 * a) ** 3
+    idx_list, w_list = [], []
     for (off, G, T) in levels:
+        assert off % D == 0
+        row0 = off // D
         g1 = jnp.full((3,), G - 1, dtype)
         xyz = _to_grid(x, g1, vmin, vmax)
         xyz0 = jnp.floor(xyz)
-        table = jax.lax.dynamic_slice_in_dim(feature, off, T * D).reshape(T, D)
 
         pos, coef = [], []
         for ax in range(3):
@@ -400,16 +474,19 @@ def query_voxel_hash_lanczos(x: jax.Array, feature: jax.Array, G0: int = 16,
             pos.append(ps)
             coef.append(cs)
 
-        acc = jnp.zeros((*x.shape[:-1], D), dtype=feature.dtype)
         for i in range(2 * a):
             for j in range(2 * a):
                 wij = coef[0][i] * coef[1][j]
                 for k in range(2 * a):
-                    idx = _hash_index(pos[0][i], pos[1][j], pos[2][k], T)
-                    acc = acc + (wij * coef[2][k])[..., None] * table[idx]
-        per_level.append(acc)
-
-    stacked = jnp.stack(per_level, axis=-1)
+                    idx_list.append(
+                        row0 + _hash_index(pos[0][i], pos[1][j], pos[2][k], T))
+                    w_list.append(wij * coef[2][k])
+    C = len(idx_list)  # n_taps * L
+    idx = jnp.stack(idx_list, axis=0)
+    w = jnp.stack(w_list, axis=0)
+    f = gather_rows(flat, idx.reshape(C, -1)).reshape(*idx.shape, D)
+    acc = (w[..., None] * f).reshape(L, n_taps, *x.shape[:-1], D).sum(axis=1)
+    stacked = jnp.moveaxis(acc, 0, -1)
     return stacked.reshape(*x.shape[:-1], D * L)
 
 

@@ -28,6 +28,15 @@ from ndjir_tpu.ops.grid import (
     _to_grid,
     hash_level_offsets,
 )
+from ndjir_tpu.ops.scatter_pallas import gather_rows
+
+
+def _gather4(flat, idx_list):
+    """Batched corner gathers: one gather_rows call -> list of (..., D)."""
+    idx = jnp.stack(idx_list, axis=0)
+    f = gather_rows(flat, idx.reshape(len(idx_list), -1))
+    f = f.reshape(*idx.shape, flat.shape[-1])
+    return [f[i] for i in range(len(idx_list))]
 
 
 @jax.custom_jvp
@@ -64,10 +73,10 @@ def tv_loss_voxel(x: jax.Array, feature: jax.Array,
     ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
     ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
 
-    f000 = _base(flat[ix0 * sx + iy0 * sy + iz0], sym_backward)
-    f100 = flat[ix1 * sx + iy0 * sy + iz0]
-    f010 = flat[ix0 * sx + iy1 * sy + iz0]
-    f001 = flat[ix0 * sx + iy0 * sy + iz1]
+    f000, f100, f010, f001 = _gather4(flat, [
+        ix0 * sx + iy0 * sy + iz0, ix1 * sx + iy0 * sy + iz0,
+        ix0 * sx + iy1 * sy + iz0, ix0 * sx + iy0 * sy + iz1])
+    f000 = _base(f000, sym_backward)
 
     s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
     return _tv_sqrt(s)
@@ -85,14 +94,18 @@ def tv_loss_triplane(x: jax.Array, feature: jax.Array,
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
 
-    outs = []
+    flat = feature.reshape(-1, D)
+    idx_list = []
     for p, (au, av) in enumerate(((0, 1), (1, 2), (2, 0))):
-        plane = feature[p].reshape(-1, D)
+        off = p * G * G
         u0, v0 = i0[..., au], i0[..., av]
         u1, v1 = i1[..., au], i1[..., av]
-        f00 = _base(plane[u0 * G + v0], sym_backward)
-        f10 = plane[u1 * G + v0]
-        f01 = plane[u0 * G + v1]
+        idx_list += [off + u0 * G + v0, off + u1 * G + v0, off + u0 * G + v1]
+    fs = _gather4(flat, idx_list)
+    outs = []
+    for p in range(3):
+        f00 = _base(fs[3 * p], sym_backward)
+        f10, f01 = fs[3 * p + 1], fs[3 * p + 2]
         s = (f10 - f00) ** 2 + (f01 - f00) ** 2
         outs.append(_tv_sqrt(s))  # (..., D)
     return jnp.stack(outs, axis=-1).reshape(*x.shape[:-1], D * 3)
@@ -110,11 +123,15 @@ def tv_loss_triline(x: jax.Array, feature: jax.Array,
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
 
+    flat = feature.reshape(-1, D)
+    idx_list = []
+    for ax in range(3):
+        idx_list += [ax * G + i0[..., ax], ax * G + i1[..., ax]]
+    fs = _gather4(flat, idx_list)
     outs = []
     for ax in range(3):
-        line = feature[ax]
-        f0 = _base(line[i0[..., ax]], sym_backward)
-        f1 = line[i1[..., ax]]
+        f0 = _base(fs[2 * ax], sym_backward)
+        f1 = fs[2 * ax + 1]
         outs.append(_tv_sqrt((f1 - f0) ** 2))
     return jnp.stack(outs, axis=-1).reshape(*x.shape[:-1], D * 3)
 
@@ -129,21 +146,27 @@ def tv_loss_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
     vmin = jnp.asarray(vmin, dtype)
     vmax = jnp.asarray(vmax, dtype)
 
-    per_level = []
+    flat = feature.reshape(-1, D)
+    idx_list = []
     for (off, G, T) in hash_level_offsets(G0, growth_factor, T0, L, D):
+        assert off % D == 0
+        row0 = off // D
         g1 = jnp.full((3,), G - 1, dtype)
         xyz = _to_grid(x, g1, vmin, vmax)
         xyz0, xyz1 = _corners(xyz, g1)
         i0 = xyz0.astype(jnp.int32)
         i1 = xyz1.astype(jnp.int32)
-        table = jax.lax.dynamic_slice_in_dim(feature, off, T * D).reshape(T, D)
-
         ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
         ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
-        f000 = _base(table[_hash_index(ix0, iy0, iz0, T)], sym_backward)
-        f100 = table[_hash_index(ix1, iy0, iz0, T)]
-        f010 = table[_hash_index(ix0, iy1, iz0, T)]
-        f001 = table[_hash_index(ix0, iy0, iz1, T)]
+        idx_list += [row0 + _hash_index(ix0, iy0, iz0, T),
+                     row0 + _hash_index(ix1, iy0, iz0, T),
+                     row0 + _hash_index(ix0, iy1, iz0, T),
+                     row0 + _hash_index(ix0, iy0, iz1, T)]
+    fs = _gather4(flat, idx_list)
+    per_level = []
+    for li in range(L):
+        f000 = _base(fs[4 * li], sym_backward)
+        f100, f010, f001 = fs[4 * li + 1], fs[4 * li + 2], fs[4 * li + 3]
         s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
         per_level.append(_tv_sqrt(s))  # (..., D)
 
