@@ -34,7 +34,11 @@ def main():
     from ndjir_tpu.train.optim import init_optimizer
     from ndjir_tpu.train.trainer import train_step
 
-    grid = int(os.environ.get("NDJIR_BENCH_GRID", "512"))
+    # G=512 (the reference default) needs ~20 GB HBM for params + dual-Adam
+    # moments + gradient + scatter temporaries — fine on the v5p target
+    # (95 GB/chip) but not on the 16 GB v5e dev chip, so the bench default
+    # is G=256 (same op mix, 1/8 the table).
+    grid = int(os.environ.get("NDJIR_BENCH_GRID", "256"))
     n_steps = int(os.environ.get("NDJIR_BENCH_STEPS", "20"))
     config = os.environ.get("NDJIR_BENCH_CONFIG", "default")
 

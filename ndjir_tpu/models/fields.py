@@ -184,8 +184,14 @@ def init_geometric(key, conf, dtype=jnp.float32) -> Params:
     return params
 
 
-def geometric_apply(params: Params, x: jax.Array, conf):
-    """x (..., 3) -> (sdf (..., 1), feature (..., D), gain scalar array)."""
+def geometric_apply(params: Params, x: jax.Array, conf,
+                    with_tv: bool = False, tv_sym: bool = True):
+    """x (..., 3) -> (sdf (..., 1), feature (..., D), gain scalar array).
+
+    ``with_tv=True`` additionally returns the grid TV map (..., C) computed
+    from the SAME corner gather as the feature query (one fewer gather pass
+    and backward scatter per step; see ops.grid.query_voxel_and_tv).
+    """
     g = conf.geometric_network
     D = g.feature_size
     L = g.layers
@@ -194,12 +200,18 @@ def geometric_apply(params: Params, x: jax.Array, conf):
     skip_layers = tuple(g.skip_layers)
     cdt = _compute_dtype(conf)
 
+    tv_map = None
     pe_x = positional_encoding(x, M) if M > 0 else x
     if "grid" in params:
         enc = GridEncoding(g.voxel, radius=conf.renderer.bounding_sphere_radius)
-        vfeat = enc.apply(params["grid"], x)
+        if with_tv:
+            vfeat, tv_map = enc.apply_with_tv(params["grid"], x, tv_sym)
+        else:
+            vfeat = enc.apply(params["grid"], x)
         inputs = jnp.concatenate([pe_x, vfeat], axis=-1)
     else:
+        if with_tv:
+            tv_map = jnp.zeros((*x.shape[:-1], 1), dtype=x.dtype)
         inputs = pe_x
     h = inputs
 
@@ -223,6 +235,8 @@ def geometric_apply(params: Params, x: jax.Array, conf):
 
     sdf, feature = h[..., 0:1], h[..., 1:]
     gain = jnp.clip(jnp.exp(params["gain"] * 10.0), 1e-6, 5e4)
+    if with_tv:
+        return sdf, feature, gain, tv_map
     return sdf, feature, gain
 
 

@@ -176,6 +176,87 @@ def query_voxel(x: jax.Array, feature: jax.Array,
     return _gather_weighted_sum(flat, idx_list, w_list)
 
 
+def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
+                       vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
+                       weight: str = "linear", sym_backward: bool = True):
+    """Fused trilinear query + cell TV map sharing ONE corner gather.
+
+    The TV regularizer reads 4 of the same 8 cell corners the interpolation
+    gathers (reference computes them in separate CUDA ops:
+    voxel_feature_cuda.cu + total_variation_loss_cuda.cu) — fusing saves a
+    full gather pass and a full backward scatter per training step.
+    Returns (interp (..., D), tv (..., D)); TV semantics identical to
+    ndjir_tpu.ops.tv_loss.tv_loss_voxel.
+    """
+    from ndjir_tpu.ops.tv_loss import _tv_sqrt
+
+    Gx, Gy, Gz, D = feature.shape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    w0, w1 = _weights(xyz, xyz0, xyz1, weight)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+    sy, sx = Gz, Gy * Gz
+
+    use_zdup = (Gx * Gy * Gz * 2 * D * feature.dtype.itemsize
+                <= _ZDUP_MAX_BYTES)
+    if use_zdup:
+        fz = jnp.concatenate(
+            [feature,
+             jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
+            axis=-1)
+        flat2 = fz.reshape(-1, 2 * D)
+        iz = i0[..., 2]
+        idx_list, w_list = [], []
+        for cx in range(2):
+            ix = (i0 if cx == 0 else i1)[..., 0]
+            wx = (w0 if cx == 0 else w1)[..., 0]
+            for cy in range(2):
+                iy = (i0 if cy == 0 else i1)[..., 1]
+                wy = (w0 if cy == 0 else w1)[..., 1]
+                idx_list.append(ix * sx + iy * sy + iz)
+                w_list.append(wx * wy)
+        idx = jnp.stack(idx_list, axis=0)
+        w = jnp.stack(w_list, axis=0)
+        f = gather_rows(flat2, idx.reshape(4, -1)).reshape(*idx.shape, 2 * D)
+        wz0 = w0[..., 2:3]
+        wz1 = w1[..., 2:3]
+        pair = wz0 * f[..., :D] + wz1 * f[..., D:]
+        interp = jnp.sum(w[..., None] * pair, axis=0)
+        # corners for TV: rows are ordered (x0y0, x0y1, x1y0, x1y1)
+        f000 = f[0, ..., :D]
+        f001 = f[0, ..., D:]
+        f010 = f[1, ..., :D]
+        f100 = f[2, ..., :D]
+    else:
+        flat = feature.reshape(-1, D)
+        corner_ids = {}
+        idx_list, w_list, order = [], [], []
+        for cx in range(2):
+            ix = (i0 if cx == 0 else i1)[..., 0]
+            wx = (w0 if cx == 0 else w1)[..., 0]
+            for cy in range(2):
+                iy = (i0 if cy == 0 else i1)[..., 1]
+                wy = (w0 if cy == 0 else w1)[..., 1]
+                for cz in range(2):
+                    iz = (i0 if cz == 0 else i1)[..., 2]
+                    wz = (w0 if cz == 0 else w1)[..., 2]
+                    idx_list.append(ix * sx + iy * sy + iz)
+                    w_list.append(wx * wy * wz)
+        idx = jnp.stack(idx_list, axis=0)
+        w = jnp.stack(w_list, axis=0)
+        f = gather_rows(flat, idx.reshape(8, -1)).reshape(*idx.shape, D)
+        interp = jnp.sum(w[..., None] * f, axis=0)
+        # corner order (cx, cy, cz): 000=0, 001=1, 010=2, 100=4
+        f000, f001, f010, f100 = f[0], f[1], f[2], f[4]
+
+    base = f000 if sym_backward else jax.lax.stop_gradient(f000)
+    s = (f100 - base) ** 2 + (f010 - base) ** 2 + (f001 - base) ** 2
+    return interp, _tv_sqrt(s)
+
+
 def query_voxel_lanczos(x: jax.Array, feature: jax.Array,
                         vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
                         a: int = 2) -> jax.Array:
@@ -545,6 +626,20 @@ class GridEncoding:
         if t.endswith("voxel"):
             return {"F": init_voxel(k0, self.G, self.D, dtype=dtype)}
         raise ValueError(f"Unknown grid type: {t}")
+
+    def apply_with_tv(self, params, x: jax.Array, sym_backward: bool = True):
+        """(features, tv_map) with a shared corner gather on dense-voxel
+        layouts; other layouts fall back to separate query + TV passes."""
+        t = self.type
+        if t in ("voxel", "cosine_voxel"):
+            xq = jax.lax.stop_gradient(x) if self.use_ste else x
+            kind = "cosine" if t.startswith("cosine_") else "linear"
+            return query_voxel_and_tv(xq, params["F"], self.vmin, self.vmax,
+                                      kind, sym_backward)
+        from ndjir_tpu.ops.tv_loss import grid_tv_loss
+
+        return (self.apply(params, x),
+                grid_tv_loss(self, params, x, sym_backward))
 
     def apply(self, params, x: jax.Array) -> jax.Array:
         t = self.type

@@ -14,8 +14,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ndjir_tpu.models.fields import GridEncoding
-from ndjir_tpu.ops.tv_loss import grid_tv_loss
 from ndjir_tpu.render.renderer import make_mc_cdfs, pb_render
 from ndjir_tpu.render.sampler import sample_points
 
@@ -56,15 +54,12 @@ def total_loss(params, camloc, raydir, color_gt, obj_mask, cos_anneal_ratio,
     else:
         loss_eikonal = zero
 
-    # TV over grid features (loss.py:79-105)
+    # TV over grid features (loss.py:79-105) — the map comes fused out of
+    # the renderer's main grid query (shared corner gather)
     gtype = conf.geometric_network.voxel.type
     if gtype != "none" and tr.tv_weight > 0.0:
-        enc = GridEncoding(conf.geometric_network.voxel,
-                           radius=conf.renderer.bounding_sphere_radius)
-        tv = grid_tv_loss(enc, params["geometric-network"]["grid"], x_fg,
-                          sym_backward=tr.tv_sym_backward)
         denorm = jnp.sum(mask) * N + 1e-5
-        loss_tv = jnp.sum(tv * mask) / denorm
+        loss_tv = jnp.sum(res["tv_map"] * mask) / denorm
     else:
         loss_tv = zero
 

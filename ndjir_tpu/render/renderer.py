@@ -40,15 +40,22 @@ from ndjir_tpu.ops.directions import (
 )
 
 
-def sdf_value_and_spatial_grad(params, x, conf):
-    """One forward for (sdf, feature, gain) plus the spatial gradient
+def sdf_value_and_spatial_grad(params, x, conf, with_tv=False, tv_sym=True):
+    """One forward for (sdf, feature, gain[, tv]) plus the spatial gradient
     d sdf / d x via vjp — the reference's nn.grad double-backward path
     (reference: renderer.py:51-52) collapses to this."""
+    if with_tv:
+        (sdf, feature, gain, tv), vjp_fn = jax.vjp(
+            lambda x_: geometric_apply(params["geometric-network"], x_, conf,
+                                       with_tv=True, tv_sym=tv_sym), x)
+        grad_x = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feature),
+                         jnp.zeros_like(gain), jnp.zeros_like(tv)))[0]
+        return sdf, feature, gain, grad_x, tv
     (sdf, feature, gain), vjp_fn = jax.vjp(
         lambda x_: geometric_apply(params["geometric-network"], x_, conf), x)
     grad_x = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feature),
                      jnp.zeros_like(gain)))[0]
-    return sdf, feature, gain, grad_x
+    return sdf, feature, gain, grad_x, None
 
 
 def make_mc_cdfs(key_or_conf, conf, B, R, step: Optional[jax.Array] = None,
@@ -100,9 +107,13 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     view_dir = -raydir_r
     eps_normal = conf.renderer.eps_normal
 
-    # geometry + spatial gradient (normal field)
-    sdf_x_fg, feature_x_fg, gain, grad_x_fg = sdf_value_and_spatial_grad(
-        params, x_fg, conf)
+    # geometry + spatial gradient (normal field); the grid TV map rides the
+    # same corner gather when the loss needs it
+    want_tv = (conf.geometric_network.voxel.type != "none"
+               and conf.train.tv_weight > 0.0)
+    sdf_x_fg, feature_x_fg, gain, grad_x_fg, tv_map = \
+        sdf_value_and_spatial_grad(params, x_fg, conf, with_tv=want_tv,
+                                   tv_sym=conf.train.tv_sym_backward)
 
     # NeuS section-based alpha with annealed iter_cos (renderer.py:55-67)
     car = jnp.asarray(cos_anneal_ratio, x_fg.dtype)
@@ -265,4 +276,5 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
         std_specular_reflectance=std_specular,
         normal_pixel=normal_pixel,
         gain=gain,
+        tv_map=tv_map,
     )

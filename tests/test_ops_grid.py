@@ -265,3 +265,34 @@ def test_ste_blocks_spatial_grad(rng):
     # feature grads still flow under STE
     gf = jax.grad(lambda p: enc.apply(p, x).sum())(params)
     assert float(jnp.abs(gf["F"]).sum()) > 0
+
+
+def test_fused_query_and_tv_matches_separate(rng):
+    """query_voxel_and_tv must equal (query_voxel, tv_loss_voxel) in value
+    AND in gradients for both sym settings (shared-gather fusion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndjir_tpu.ops.tv_loss import tv_loss_voxel
+
+    feat = jnp.asarray(rng.randn(9, 9, 9, 3).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1.1, 1.1, (20, 3)).astype(np.float32))
+    for kind in ["linear", "cosine"]:
+        qi, tv = G.query_voxel_and_tv(x, feat, weight=kind)
+        q_ref = G.query_voxel(x, feat, weight=kind)
+        tv_ref = tv_loss_voxel(x, feat)
+        np.testing.assert_allclose(np.asarray(qi), np.asarray(q_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tv), np.asarray(tv_ref), atol=1e-5)
+
+    for sym in [True, False]:
+        def fused(f):
+            qi, tv = G.query_voxel_and_tv(x, f, sym_backward=sym)
+            return (qi ** 2).sum() + tv.sum()
+
+        def separate(f):
+            return (G.query_voxel(x, f) ** 2).sum() + \
+                tv_loss_voxel(x, f, sym_backward=sym).sum()
+
+        gf = jax.grad(fused)(feat)
+        gs = jax.grad(separate)(feat)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=1e-4)
