@@ -1,0 +1,84 @@
+"""Multi-scene batch training over a (scenes x rays) virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndjir_tpu.config import load_config
+from ndjir_tpu.data.synthetic import make_synthetic_scene
+
+
+def test_multi_scene_trains_and_shards(tmp_path):
+    from ndjir_tpu.parallel.multi_scene import MultiSceneTrainer
+
+    scenes = [make_synthetic_scene(str(tmp_path / f"s{i}"), n_views=2, H=24,
+                                   W=24, seed=i) for i in range(2)]
+    conf = load_config("tiny_test", overrides=[
+        "parallel.mesh_shape=[2,4]",   # 2 scene groups x 4-way ray sharding
+        "train.epoch=2",
+        "valid.skip=true",
+    ])
+    t = MultiSceneTrainer(conf, scenes)
+    # params stacked with leading scene axis, sharded across 8 devices
+    leaf = jax.tree_util.tree_leaves(t.params_s)[0]
+    assert leaf.shape[0] == 2
+    assert len(leaf.sharding.device_set) == 8
+
+    mon0 = t.train(epochs=1)
+    l0 = np.asarray(mon0["loss"]).copy()
+    mon1 = t.train(epochs=2)
+    l1 = np.asarray(mon1["loss"])
+    assert l0.shape == (2,)
+    assert np.all(np.isfinite(l1))
+    assert np.all(np.asarray(mon1["grads_finite"]))
+    # training progressed (loss moved; monotone decrease over 2 tiny epochs
+    # is too noisy to assert — semantic equivalence to the single-scene step
+    # is covered by test_multi_scene_matches_single_scene)
+    assert not np.allclose(l0, l1)
+
+    # per-scene params are independent (different scenes -> diverged)
+    p0 = t.scene_params(0)
+    p1 = t.scene_params(1)
+    d = float(jnp.abs(p0["geometric-network"]["affine-00"]["W"]
+                      - p1["geometric-network"]["affine-00"]["W"]).sum())
+    assert d > 0
+
+
+def test_multi_scene_matches_single_scene(tmp_path):
+    """vmapped multi-scene step == independent single-scene steps."""
+    from ndjir_tpu.models.fields import init_model
+    from ndjir_tpu.parallel.multi_scene import multi_scene_train_step
+    from ndjir_tpu.train.optim import init_optimizer
+    from ndjir_tpu.train.trainer import train_step
+
+    conf = load_config("tiny_test")
+    S, B, R = 2, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), S)
+    params_list = [init_model(k, conf) for k in keys]
+    opt_list = [init_optimizer(p) for p in params_list]
+    stack = lambda trees: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *trees)
+    params_s = stack(params_list)
+    opt_s = stack(opt_list)
+
+    k = jax.random.PRNGKey(3)
+    camloc = jnp.tile(jnp.asarray([[[0.0, 0.0, 2.5]]]), (S, B, 1))
+    raydir = jax.random.normal(k, (S, B, R, 3)) - jnp.asarray([0.0, 0.0, 3.0])
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    color = jax.random.uniform(jax.random.PRNGKey(4), (S, B, R, 3))
+    mask = jnp.ones((S, B, R, 1))
+
+    args = (jnp.float32(0.5), jnp.float32(1.0), jnp.float32(1e-3),
+            jnp.float32(1e-3), jnp.int32(0), conf)
+    ps2, os2, mon2 = multi_scene_train_step(params_s, opt_s, camloc, raydir,
+                                            color, mask, *args)
+
+    for s in range(S):
+        p1, o1, mon1 = train_step(params_list[s], opt_list[s], camloc[s],
+                                  raydir[s], color[s], mask[s], *args)
+        np.testing.assert_allclose(float(mon1["loss"]),
+                                   float(mon2["loss"][s]), rtol=1e-5)
+        w_multi = np.asarray(jax.tree_util.tree_map(
+            lambda x: x[s], ps2)["geometric-network"]["affine-00"]["W"])
+        w_single = np.asarray(p1["geometric-network"]["affine-00"]["W"])
+        np.testing.assert_allclose(w_multi, w_single, atol=1e-5)
