@@ -41,9 +41,14 @@ def main():
     grid = int(os.environ.get("NDJIR_BENCH_GRID", "256"))
     n_steps = int(os.environ.get("NDJIR_BENCH_STEPS", "20"))
     config = os.environ.get("NDJIR_BENCH_CONFIG", "default")
+    mlp_dtype = os.environ.get("NDJIR_BENCH_MLP_DTYPE", "bfloat16")
 
     conf = load_config(config, overrides=[
         f"geometric_network.voxel.grid_size={grid}",
+        # bf16 MXU with f32 accumulation is the production TPU precision
+        # (loss parity to ~3e-4); set NDJIR_BENCH_MLP_DTYPE=float32 for the
+        # strict-parity path.
+        f"precision.mlp_dtype={mlp_dtype}",
     ])
     B, R = conf.train.batch_size, conf.train.n_rays
 

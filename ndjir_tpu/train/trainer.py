@@ -56,6 +56,12 @@ def train_step(params, opt_state, camloc, raydir, color_gt, obj_mask,
     return params, opt_state, monitors
 
 
+def _is_dtu_data(data_path: str) -> bool:
+    """reference: helper.py:137-138 (parent dir starts with 'DTU')."""
+    parts = str(data_path).rstrip("/").split("/")
+    return len(parts) >= 2 and parts[-2].startswith("DTU")
+
+
 def setup_monitor_dir(conf, train: bool = True) -> str:
     """Create <monitor_base>_<scene> and snapshot the config
     (reference: helper.py:99-124)."""
@@ -136,11 +142,22 @@ class Trainer:
                                           gt[:, :, :h, :w]))
         try:
             from ndjir_tpu.extract.mc import extract_mesh_for_validation
-            extract_mesh_for_validation(self.params, self.conf,
-                                        self.monitor_path, epoch,
-                                        final=final, dataset=self.ds)
+            fpath = extract_mesh_for_validation(self.params, self.conf,
+                                                self.monitor_path, epoch,
+                                                final=final, dataset=self.ds)
         except ImportError:
-            pass
+            fpath = ""
+        # DTU scenes: Chamfer on the final mesh (reference: train.py:114-118)
+        if final and fpath and _is_dtu_data(conf.data_path):
+            from ndjir_tpu.eval.chamfer import evaluate_by_chamfer
+
+            conf.valid.dtumvs.mesh_path = fpath
+            conf.valid.dtumvs.scan = str(conf.data_path).rstrip("/").split("/")[-1]
+            conf.valid.dtumvs.vis_out_dir = self.monitor_path
+            try:
+                evaluate_by_chamfer(conf, dataset=self.ds)
+            except Exception as e:
+                logger.info(f"Chamfer evaluation skipped: {e}")
 
     # -- main loop ----------------------------------------------------------
     def train(self):
