@@ -214,6 +214,27 @@ def clean_points_by_mask(points: np.ndarray, dataset, conf) -> np.ndarray:
     return inside
 
 
+def largest_component_meshes(verts, tris, top_k: int = 3):
+    """Top-k components by surface AREA (reference: create_largest_meshes,
+    extract_by_mc.py:131-140)."""
+    labels = connected_components(tris, len(verts))
+    tri_v = verts[tris]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tri_v[:, 1] - tri_v[:, 0], tri_v[:, 2] - tri_v[:, 0]),
+        axis=-1)
+    comp_area = np.bincount(labels, weights=areas)
+    order = np.argsort(comp_area)[::-1][:top_k]
+    out = []
+    for comp in order:
+        cmask = labels == comp
+        ctris = tris[cmask]
+        used = np.unique(ctris)
+        remap = np.full(len(verts), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        out.append((verts[used].copy(), remap[ctris]))
+    return out
+
+
 def trimmed_component_meshes(verts, tris, keep_mask: np.ndarray, top_k=5):
     """Drop masked-out vertices, split into components, largest first
     (reference: create_trimmed_meshes, extract_by_mc.py:106-128)."""

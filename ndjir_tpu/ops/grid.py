@@ -471,6 +471,28 @@ def _hash_index(ix: jax.Array, iy: jax.Array, iz: jax.Array, T: int) -> jax.Arra
     return (h % np.uint32(T)).astype(jnp.int32)
 
 
+def hash_index(x: jax.Array, G: int, T: int,
+               vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX
+               ) -> jax.Array:
+    """Debug op: the 8 hash-table indices of a query's cell corners
+    (..., 8) (reference: kernel_hash_index, voxel_hash_feature_cuda.cu:54-116)."""
+    dtype = x.dtype
+    g1 = jnp.full((3,), G - 1, dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+    idx = []
+    for cx in (i0[..., 0], i1[..., 0]):
+        for cy in (i0[..., 1], i1[..., 1]):
+            for cz in (i0[..., 2], i1[..., 2]):
+                idx.append(_hash_index(cx, cy, cz, T))
+    # reference corner order: (x0y0z0, x0y0z1, x0y1z0, x0y1z1, x1y0z0, ...)
+    order = [0, 1, 2, 3, 4, 5, 6, 7]
+    stacked = jnp.stack([idx[o] for o in order], axis=-1)
+    return stacked
+
+
 def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
                      growth_factor: float = 1.5, T0: int = 2 ** 15,
                      L: int = 16, D: int = 2,

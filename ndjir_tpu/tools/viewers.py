@@ -110,6 +110,77 @@ def turntable(fpath: str, out_dir: str | None = None, n_views=60, res=512,
     return out_dir
 
 
+def render_with_camera_params(mesh_path: str, cameras_npz: str,
+                              out_dir: str | None = None, res=512,
+                              indices=None):
+    """Offscreen renders of a mesh from dataset camera poses (reference:
+    render_pbr_meshes_with_camera_params.py)."""
+    import imageio.v2 as imageio
+
+    from ndjir_tpu.data.cameras import load_K_Rt_from_P
+
+    V, F, C = load_obj(mesh_path)
+    cams = np.load(cameras_npz)
+    n = len([k for k in cams.files if k.startswith("world_mat_")
+             and "inv" not in k])
+    out_dir = out_dir or os.path.splitext(mesh_path)[0] + "_views"
+    os.makedirs(out_dir, exist_ok=True)
+    idxs = indices if indices is not None else range(n)
+    outs = []
+    for i in idxs:
+        S = cams[f"scale_mat_{i}"] if f"scale_mat_{i}" in cams.files \
+            else np.eye(4)
+        P = (cams[f"world_mat_{i}"] @ S)[:3]
+        _, pose = load_K_Rt_from_P(P)
+        eye = pose[:3, 3]
+        img = render_mesh_view(V, F, C, eye, res=res)
+        p = os.path.join(out_dir, f"{i:06d}.png")
+        imageio.imwrite(p, img)
+        outs.append(p)
+    return outs
+
+
+def frames_to_gif(frame_dir: str, out_path: str | None = None, fps: int = 20):
+    """Assemble an image sequence into a GIF (reference viewer_pbr.py writes
+    camera-path videos; GIF avoids an ffmpeg dependency)."""
+    import glob as _glob
+
+    import imageio.v2 as imageio
+
+    frames = [imageio.imread(f)
+              for f in sorted(_glob.glob(os.path.join(frame_dir, "*.png")))]
+    out_path = out_path or frame_dir.rstrip("/") + ".gif"
+    imageio.mimwrite(out_path, frames, duration=1.0 / fps, loop=0)
+    return out_path
+
+
+def export_cameras_json(cameras_npz: str, out_path: str | None = None):
+    """cameras.npz -> portable JSON (per-view K, R_c2w, camera center);
+    generic replacement for the reference's O3D-specific exporter
+    (create_o3d_camera_parameters.py)."""
+    import json
+
+    from ndjir_tpu.data.cameras import load_K_Rt_from_P
+
+    cams = np.load(cameras_npz)
+    n = len([k for k in cams.files if k.startswith("world_mat_")
+             and "inv" not in k])
+    out = []
+    for i in range(n):
+        S = cams[f"scale_mat_{i}"] if f"scale_mat_{i}" in cams.files \
+            else np.eye(4)
+        P = (cams[f"world_mat_{i}"] @ S)[:3]
+        intrinsic, pose = load_K_Rt_from_P(P)
+        out.append(dict(index=i,
+                        K=intrinsic[:3, :3].tolist(),
+                        R_c2w=pose[:3, :3].tolist(),
+                        center=pose[:3, 3].tolist()))
+    out_path = out_path or os.path.splitext(cameras_npz)[0] + "_cameras.json"
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out_path
+
+
 def show_cameras(cameras_npz: str, out_path: str | None = None):
     """Camera-frustum pose plot (reference show_cameras_npy.py)."""
     import matplotlib
@@ -125,7 +196,9 @@ def show_cameras(cameras_npz: str, out_path: str | None = None):
     fig = plt.figure(figsize=(8, 8))
     ax = fig.add_subplot(111, projection="3d")
     for i in range(n):
-        P = (cams[f"world_mat_{i}"] @ cams.get(f"scale_mat_{i}", np.eye(4)))[:3]
+        S = cams[f"scale_mat_{i}"] if f"scale_mat_{i}" in cams.files \
+            else np.eye(4)
+        P = (cams[f"world_mat_{i}"] @ S)[:3]
         _, pose = load_K_Rt_from_P(P)
         c = pose[:3, 3]
         fwd = pose[:3, 2]
@@ -175,6 +248,14 @@ def main():
     t.add_argument("--views", type=int, default=60)
     c = sub.add_parser("cameras")
     c.add_argument("npz")
+    cr = sub.add_parser("render-views")
+    cr.add_argument("mesh")
+    cr.add_argument("npz")
+    g = sub.add_parser("gif")
+    g.add_argument("frame_dir")
+    g.add_argument("--fps", type=int, default=20)
+    ej = sub.add_parser("export-cameras")
+    ej.add_argument("npz")
     h = sub.add_parser("histogram")
     h.add_argument("meshes", nargs="+")
     h.add_argument("--out", default="histogram.png")
@@ -185,6 +266,12 @@ def main():
         print(turntable(args.mesh, n_views=args.views))
     elif args.cmd == "cameras":
         print(show_cameras(args.npz))
+    elif args.cmd == "render-views":
+        print(render_with_camera_params(args.mesh, args.npz))
+    elif args.cmd == "gif":
+        print(frames_to_gif(args.frame_dir, fps=args.fps))
+    elif args.cmd == "export-cameras":
+        print(export_cameras_json(args.npz))
     elif args.cmd == "histogram":
         print(attribute_histogram(args.meshes, args.out))
 

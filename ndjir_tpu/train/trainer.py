@@ -71,6 +71,18 @@ def setup_monitor_dir(conf, train: bool = True) -> str:
     if train:
         os.makedirs(monitor_path, exist_ok=True)
         save_config(conf, os.path.join(monitor_path, "config.yaml"))
+        # snapshot the framework code for replayability
+        # (reference: helper.py:113-118 copies python/ + csrc/)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        for d in ("ndjir_tpu", "csrc"):
+            src = os.path.join(repo, d)
+            if os.path.isdir(src):
+                shutil.copytree(
+                    src, os.path.join(monitor_path, "code", d),
+                    dirs_exist_ok=True,
+                    ignore=shutil.ignore_patterns(
+                        "__pycache__", "*.so", "*.pyc"))
     return monitor_path
 
 

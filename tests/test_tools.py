@@ -140,3 +140,47 @@ def test_apply_mask(tmp_path, rng):
     out = np.asarray(imageio.imread(str(tmp_path / "out" / "0.png")))
     assert out[0, 0].sum() == 0
     assert (out[8, 8] == im[8, 8]).all()
+
+
+def test_camera_renders_gif_and_json(sphere_mesh, tmp_path):
+    import json
+
+    from ndjir_tpu.data.synthetic import make_synthetic_scene
+    from ndjir_tpu.tools.viewers import (
+        export_cameras_json,
+        frames_to_gif,
+        render_with_camera_params,
+        turntable,
+    )
+
+    scene = make_synthetic_scene(str(tmp_path / "s"), n_views=3, H=24, W=24)
+    npz = os.path.join(scene, "cameras.npz")
+    outs = render_with_camera_params(sphere_mesh, npz, indices=[0, 1])
+    assert len(outs) == 2 and all(os.path.exists(p) for p in outs)
+
+    frames = turntable(sphere_mesh, n_views=4, res=128)
+    gif = frames_to_gif(frames, fps=10)
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
+
+    j = export_cameras_json(npz)
+    data = json.load(open(j))
+    assert len(data) == 3 and "K" in data[0] and "center" in data[0]
+
+
+def test_largest_component_by_area():
+    import numpy as np
+
+    from ndjir_tpu.extract.mc import largest_component_meshes
+    from ndjir_tpu.extract.native import marching_cubes
+
+    G = 36
+    lin = np.linspace(-1, 1, G).astype(np.float32)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    # big + small sphere
+    vol = np.minimum(np.sqrt((X - 0.4) ** 2 + Y ** 2 + Z ** 2) - 0.35,
+                     np.sqrt((X + 0.55) ** 2 + Y ** 2 + Z ** 2) - 0.15)
+    verts, tris = marching_cubes(vol, 0.0)
+    comps = largest_component_meshes(verts, tris, top_k=2)
+    assert len(comps) == 2
+    # first component is the larger-area sphere
+    assert len(comps[0][1]) > len(comps[1][1])
