@@ -42,9 +42,14 @@ _CHUNK = int(os.environ.get("NDJIR_SCATTER_CHUNK", 128))   # rows per DMA
 _SUB = 128        # rows per one-hot/matmul sub-step
 
 
+_INTERPRET = bool(os.environ.get("NDJIR_PALLAS_INTERPRET"))
+
+
 def _on_tpu() -> bool:
     if os.environ.get("NDJIR_DISABLE_PALLAS_SCATTER"):
         return False
+    if _INTERPRET:
+        return True   # exercise the kernel in interpreter mode (tests)
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -148,6 +153,7 @@ def _scatter_add_rows_pallas(ids: jax.Array, vals: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, m_pad), jnp.float32),
+        interpret=_INTERPRET,
     )(starts, ids_p.reshape(-1, _SUB), vals_p)
     return out[:, :num_rows].T.astype(vals.dtype)
 

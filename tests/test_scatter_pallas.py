@@ -1,0 +1,56 @@
+"""Pallas scatter kernel logic under the interpreter (no TPU needed).
+
+The TPU-compiled path is exercised by bench.py / on-device drives; this
+covers the kernel's slab/chunk/masking logic against the XLA oracle.
+"""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def interp_scatter(monkeypatch):
+    monkeypatch.setenv("NDJIR_PALLAS_INTERPRET", "1")
+    import ndjir_tpu.ops.scatter_pallas as sp
+
+    importlib.reload(sp)
+    yield sp
+    monkeypatch.delenv("NDJIR_PALLAS_INTERPRET")
+    importlib.reload(sp)
+
+
+def test_kernel_matches_xla_oracle(interp_scatter, rng):
+    import jax.numpy as jnp
+
+    for n, m in [(1000, 8192), (513, 4096), (5000, 12000)]:
+        ids = rng.randint(0, m, (n,)).astype(np.int32)
+        vals = rng.randn(n, 4).astype(np.float32)
+        ref = np.zeros((m, 4), np.float32)
+        np.add.at(ref, ids, vals)
+        got = np.asarray(interp_scatter._scatter_add_rows_pallas(
+            jnp.asarray(ids), jnp.asarray(vals), m))
+        np.testing.assert_allclose(got, ref, atol=1e-3), (n, m)
+
+
+def test_kernel_extreme_distributions(interp_scatter, rng):
+    import jax.numpy as jnp
+
+    m = 8192
+    # all updates into one row (worst-case collision)
+    ids = np.full((700,), 4095, np.int32)
+    vals = np.ones((700, 4), np.float32)
+    got = np.asarray(interp_scatter._scatter_add_rows_pallas(
+        jnp.asarray(ids), jnp.asarray(vals), m))
+    np.testing.assert_allclose(got[4095], 700.0, rtol=1e-4)
+    assert np.abs(got).sum() == pytest.approx(2800.0, rel=1e-4)
+
+    # boundary rows of slabs
+    ids = np.asarray([0, 4095, 4096, 8191], np.int32)
+    vals = np.eye(4, dtype=np.float32)
+    got = np.asarray(interp_scatter._scatter_add_rows_pallas(
+        jnp.asarray(ids), jnp.asarray(vals), m))
+    for r, c in zip([0, 4095, 4096, 8191], range(4)):
+        assert got[r, c] == pytest.approx(1.0)
