@@ -1,0 +1,99 @@
+"""Reference .h5 checkpoint import: synthetic nnabla-style file -> pytree."""
+
+import numpy as np
+import pytest
+
+from ndjir_tpu.config import load_config
+
+
+def _write_reference_style_h5(path, params, prefix=""):
+    """Flatten our pytree back into nnabla-scope-named h5 datasets."""
+    import h5py
+
+    def emit(f, tree, scope):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                emit(f, v, scope + [k])
+            else:
+                if k in ("W", "b"):
+                    name = "/".join(scope) + f"/affine/{k}"
+                elif k == "g":
+                    name = "/".join(scope) + "/affine/wn/g"
+                elif k in ("F", "plane_F", "line_F"):
+                    # grid params live under <family>_feature/F
+                    gtype = scope[-1]  # "grid"
+                    fam = {"F": FAMILY, "plane_F": "triplane_feature",
+                           "line_F": "triline_feature"}[k]
+                    name = "/".join(scope[:-1]) + f"/{fam}/F"
+                else:  # gain
+                    name = "/".join(scope) + f"/{k}"
+                f.create_dataset(name, data=np.asarray(v))
+
+    with h5py.File(path, "w") as f:
+        emit(f, params, [])
+
+
+FAMILY = "voxel_feature"
+
+
+@pytest.mark.parametrize("gtype,family", [
+    ("voxel", "voxel_feature"),
+    ("voxel_hash", "voxel_hash_feature"),
+])
+def test_import_roundtrip(tmp_path, gtype, family):
+    global FAMILY
+    FAMILY = family
+    import jax
+
+    from ndjir_tpu.tools.import_reference import (
+        convert_reference_params,
+        load_reference_h5,
+        validate_against_template,
+    )
+    from ndjir_tpu.models.fields import init_model
+
+    conf = load_config("tiny_test", overrides=[
+        f"geometric_network.voxel.type={gtype}",
+        "geometric_network.voxel.hash_levels=4",
+    ])
+    template = init_model(jax.random.PRNGKey(3), conf)
+    h5p = str(tmp_path / "model.h5")
+    _write_reference_style_h5(h5p, template)
+
+    flat = load_reference_h5(h5p)
+    params, unmatched = convert_reference_params(flat, conf)
+    assert not unmatched
+    assert not validate_against_template(template, params)
+    # exact value roundtrip on a few leaves
+    np.testing.assert_array_equal(
+        np.asarray(params["geometric-network"]["affine-00"]["W"]),
+        np.asarray(template["geometric-network"]["affine-00"]["W"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["geometric-network"]["grid"]["F"]),
+        np.asarray(template["geometric-network"]["grid"]["F"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["roughness-network"]["affine--1"]["b"]),
+        np.asarray(template["roughness-network"]["affine--1"]["b"]))
+    # nested background sub-networks survive
+    assert "lighting-network" in params["background-network"]
+
+
+def test_import_skips_schedule_params(tmp_path):
+    import h5py
+
+    from ndjir_tpu.tools.import_reference import (
+        convert_reference_params,
+        load_reference_h5,
+    )
+
+    conf = load_config("tiny_test")
+    h5p = str(tmp_path / "m.h5")
+    with h5py.File(h5p, "w") as f:
+        f.create_dataset("cos_anneal_ratio", data=np.zeros(1))
+        f.create_dataset("photogrammetric-light-network/gain",
+                         data=np.ones(1))
+        f.create_dataset("geometric-network/gain", data=np.asarray([0.3]))
+    params, unmatched = convert_reference_params(load_reference_h5(h5p), conf)
+    assert not unmatched
+    assert "photogrammetric-light-network" not in params
+    assert abs(float(params["geometric-network"]["gain"][0]) - 0.3) < 1e-6
