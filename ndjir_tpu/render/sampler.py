@@ -151,6 +151,15 @@ def sample_importance(params, conf, camloc, raydir, t_near, t_far, t,
     (reference: sampler.py:167-242).  Entirely inside jit; shapes static."""
     U = conf.renderer.n_upsamples
     base_gain = conf.renderer.sampling_sigmoid_gain
+    if conf.renderer.get("proposal_grid_bf16", False) \
+            and "grid" in params.get("geometric-network", {}):
+        # proposals are stop-gradient data generation: bf16 table reads halve
+        # the gather bytes (the cast is CSE'd across the U rounds)
+        geo = dict(params["geometric-network"])
+        geo["grid"] = jax.tree_util.tree_map(
+            lambda f: f.astype(jnp.bfloat16), geo["grid"])
+        params = dict(params)
+        params["geometric-network"] = geo
     for u in range(U):
         uu = None if rand_u is None else rand_u[u]
         t = _upsample_round(params, conf, camloc, raydir, t_near, t_far, t,
