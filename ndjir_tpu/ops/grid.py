@@ -133,8 +133,9 @@ def query_voxel(x: jax.Array, feature: jax.Array,
     i1 = xyz1.astype(jnp.int32)
     sy, sx = Gz, Gy * Gz
 
-    use_zdup = (Gx * Gy * Gz * 2 * D * feature.dtype.itemsize
-                <= _ZDUP_MAX_BYTES)
+    # budget uses f32 size regardless of actual dtype so a bf16 view of the
+    # same table takes the same layout path as the f32 original
+    use_zdup = Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
     if use_zdup:
         fz = jnp.concatenate(
             [feature,
@@ -200,8 +201,7 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
     i1 = xyz1.astype(jnp.int32)
     sy, sx = Gz, Gy * Gz
 
-    use_zdup = (Gx * Gy * Gz * 2 * D * feature.dtype.itemsize
-                <= _ZDUP_MAX_BYTES)
+    use_zdup = Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
     if use_zdup:
         fz = jnp.concatenate(
             [feature,

@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndjir_tpu.models.fields import geometric_apply
 from ndjir_tpu.ops.intersect import ray_aabb_intersection, ray_sphere_intersection
@@ -151,15 +152,21 @@ def sample_importance(params, conf, camloc, raydir, t_near, t_far, t,
     (reference: sampler.py:167-242).  Entirely inside jit; shapes static."""
     U = conf.renderer.n_upsamples
     base_gain = conf.renderer.sampling_sigmoid_gain
-    if conf.renderer.get("proposal_grid_bf16", False) \
-            and "grid" in params.get("geometric-network", {}):
-        # proposals are stop-gradient data generation: bf16 table reads halve
-        # the gather bytes (the cast is CSE'd across the U rounds)
-        geo = dict(params["geometric-network"])
-        geo["grid"] = jax.tree_util.tree_map(
-            lambda f: f.astype(jnp.bfloat16), geo["grid"])
-        params = dict(params)
-        params["geometric-network"] = geo
+    grid = params.get("geometric-network", {}).get("grid") \
+        if isinstance(params.get("geometric-network", {}), dict) else None
+    if conf.renderer.get("proposal_grid_bf16", False) and grid is not None:
+        # Proposals are stop-gradient data generation: bf16 table reads cut
+        # the gather bytes (+9 ms/step measured at G=256). The cast itself
+        # costs a full table read+write per step, so only do it when the
+        # table is small enough for the cast to stay well under the saving.
+        n_bytes = sum(int(np.prod(f.shape)) * 4
+                      for f in jax.tree_util.tree_leaves(grid))
+        if n_bytes <= 600_000_000:
+            geo = dict(params["geometric-network"])
+            geo["grid"] = jax.tree_util.tree_map(
+                lambda f: f.astype(jnp.bfloat16), grid)
+            params = dict(params)
+            params["geometric-network"] = geo
     for u in range(U):
         uu = None if rand_u is None else rand_u[u]
         t = _upsample_round(params, conf, camloc, raydir, t_near, t_far, t,
