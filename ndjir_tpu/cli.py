@@ -77,7 +77,9 @@ def cmd_render(args):
         imageio.imwrite(os.path.join(out_dir, f"{i:06d}.png"), arr)
         dn = 2 ** conf.valid.n_down_samples
         m = ds.masks[i][::dn, ::dn]
-        masked = (arr * m).astype(np.uint8)
+        h = min(arr.shape[0], m.shape[0])
+        w = min(arr.shape[1], m.shape[1])
+        masked = (arr[:h, :w] * m[:h, :w]).astype(np.uint8)
         imageio.imwrite(os.path.join(out_dir, f"{i:06d}_masked.png"), masked)
         print(f"rendered view {i}/{ds.size}")
 

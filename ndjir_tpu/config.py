@@ -24,14 +24,16 @@ _CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
 class Config:
     """Nested attribute-access view over a dict tree (OmegaConf-lite).
 
-    Hashable by content identity so it can be passed as a static argument to
-    ``jax.jit`` — all config values are compile-time constants by design.
+    Nested access returns a VIEW over the same underlying dicts, so
+    ``conf.a.b.c = v`` mutates the tree (like OmegaConf).  Hashable by
+    content so it can be a ``jax.jit`` static argument — mutating a config
+    changes its hash, which correctly triggers recompilation.
     """
 
     __slots__ = ("_data",)
 
     def __init__(self, data: Dict[str, Any]):
-        object.__setattr__(self, "_data", dict(data))
+        object.__setattr__(self, "_data", data)
 
     # -- attribute / item access -------------------------------------------
     def __getattr__(self, key: str) -> Any:

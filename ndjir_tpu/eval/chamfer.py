@@ -26,23 +26,23 @@ from ndjir_tpu.utils.monitor import Monitor, MonitorSeries, logger
 
 def laplacian_smooth(verts: np.ndarray, tris: np.ndarray,
                      iterations: int) -> np.ndarray:
-    """Simple umbrella smoothing (open3d filter_smooth_simple equivalent:
-    each vertex moves to the mean of itself and its 1-ring)."""
+    """open3d filter_smooth_simple semantics: v' = (v + sum(neighbors))
+    / (1 + N) — self weight 1/(1+N), matching the reference's DTU protocol
+    (reference: evaluate_chamfer_dtumvs.py:81-82)."""
     if iterations <= 0:
         return verts
     n = len(verts)
     edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
                             tris[:, [2, 0]]])
-    edges = np.concatenate([edges, edges[:, ::-1]])
+    edges = np.unique(np.concatenate([edges, edges[:, ::-1]]), axis=0)
     v = verts.astype(np.float64)
     for _ in range(iterations):
         acc = np.zeros_like(v)
         cnt = np.zeros((n, 1))
         np.add.at(acc, edges[:, 0], v[edges[:, 1]])
         np.add.at(cnt, edges[:, 0], 1.0)
-        neigh_mean = acc / np.maximum(cnt, 1)
         has = (cnt > 0)[:, 0]
-        v[has] = 0.5 * (v[has] + neigh_mean[has])
+        v[has] = (v[has] + acc[has]) / (1.0 + cnt[has])
     return v.astype(np.float32)
 
 

@@ -42,8 +42,9 @@ def _gaussian_kernel(size=11, sigma=1.5):
     return np.outer(k, k)
 
 
-def ssim(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0) -> float:
-    """Mean SSIM over channels with 11x11 gaussian window (valid padding)."""
+def ssim_map(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0,
+             mode: str = "valid") -> np.ndarray:
+    """Per-pixel SSIM map, 11x11 gaussian window (Wang et al.)."""
     from scipy.signal import fftconvolve
 
     a = np.asarray(img0, np.float64)
@@ -56,7 +57,7 @@ def ssim(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0) -> float:
     win = _gaussian_kernel()
 
     def filt(x):
-        return np.stack([fftconvolve(x[..., c], win, mode="valid")
+        return np.stack([fftconvolve(x[..., c], win, mode=mode)
                          for c in range(x.shape[-1])], axis=-1)
 
     mu_a, mu_b = filt(a), filt(b)
@@ -64,6 +65,10 @@ def ssim(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0) -> float:
     sa = filt(a * a) - mu_a2
     sb = filt(b * b) - mu_b2
     sab = filt(a * b) - mu_ab
-    s = ((2 * mu_ab + C1) * (2 * sab + C2)) / \
+    return ((2 * mu_ab + C1) * (2 * sab + C2)) / \
         ((mu_a2 + mu_b2 + C1) * (sa + sb + C2))
-    return float(np.mean(s))
+
+
+def ssim(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0) -> float:
+    """Mean SSIM over channels (valid padding)."""
+    return float(np.mean(ssim_map(img0, img1, data_range, mode="valid")))

@@ -18,8 +18,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ndjir_tpu.eval.image import psnr as _psnr_simple  # noqa: F401
-from ndjir_tpu.eval.image import ssim as _ssim_full
+from ndjir_tpu.eval.image import ssim_map
 from ndjir_tpu.utils.monitor import Monitor, MonitorSeries, logger
 
 
@@ -42,28 +41,8 @@ def masked_psnr(pred: np.ndarray, gt: np.ndarray,
 
 def masked_ssim(pred: np.ndarray, gt: np.ndarray,
                 mask: Optional[np.ndarray] = None) -> float:
-    """Windowed SSIM map averaged under the mask (data_range 255)."""
-    from scipy.signal import fftconvolve
-
-    a = np.asarray(pred, np.float64)
-    b = np.asarray(gt, np.float64)
-    K1, K2, L = 0.01, 0.03, 255.0
-    C1, C2 = (K1 * L) ** 2, (K2 * L) ** 2
-    ax = np.arange(11) - 5
-    k = np.exp(-(ax ** 2) / (2 * 1.5 ** 2))
-    k /= k.sum()
-    win = np.outer(k, k)
-
-    def filt(x):
-        return np.stack([fftconvolve(x[..., c], win, mode="same")
-                         for c in range(x.shape[-1])], axis=-1)
-
-    mu_a, mu_b = filt(a), filt(b)
-    sa = filt(a * a) - mu_a ** 2
-    sb = filt(b * b) - mu_b ** 2
-    sab = filt(a * b) - mu_a * mu_b
-    smap = ((2 * mu_a * mu_b + C1) * (2 * sab + C2)) / \
-        ((mu_a ** 2 + mu_b ** 2 + C1) * (sa + sb + C2))
+    """SSIM map (eval.image.ssim_map) averaged under the mask, 255-scale."""
+    smap = ssim_map(pred, gt, data_range=255.0, mode="same")
     if mask is None:
         return float(smap.mean())
     m = np.broadcast_to(mask, smap.shape)

@@ -65,24 +65,34 @@ def affine_apply(p: Params, h: jax.Array, compute_dtype=None) -> jax.Array:
 
 
 def _mlp_init(key, dims, use_wn, dtype=jnp.float32, name_fmt="affine-{:02d}",
-              name_offset=0):
-    """Plain (non-geometric) MLP stack; returns {name: affine params}."""
+              name_offset=0, last_offset=None):
+    """Plain (non-geometric) MLP stack; returns {name: affine params}.
+
+    ``name_offset`` shifts hidden-layer numbering; ``last_offset`` (default =
+    name_offset) shifts the last layer separately — the reference's roughness
+    / specular heads number hidden layers l-1 but the LAST layer L-1
+    (network.py:451, 454), leaving a gap in the sequence.
+    """
+    last_offset = name_offset if last_offset is None else last_offset
     params = {}
     keys = jax.random.split(key, len(dims) - 1)
-    for l in range(len(dims) - 1):
-        name = name_fmt.format(l + name_offset)
+    L = len(dims) - 1
+    for l in range(L):
+        off = last_offset if l == L - 1 else name_offset
+        name = name_fmt.format(l + off)
         params[name] = init_affine(keys[l], dims[l], dims[l + 1],
                                    use_wn=use_wn, dtype=dtype)
     return params
 
 
 def _mlp_apply(params, h, n_layers, act, compute_dtype=None,
-               name_fmt="affine-{:02d}", name_offset=0):
+               name_fmt="affine-{:02d}", name_offset=0, last_offset=None):
+    last_offset = name_offset if last_offset is None else last_offset
     for l in range(n_layers - 1):
         h = affine_apply(params[name_fmt.format(l + name_offset)], h,
                          compute_dtype)
         h = act(h)
-    return affine_apply(params[name_fmt.format(n_layers - 1 + name_offset)],
+    return affine_apply(params[name_fmt.format(n_layers - 1 + last_offset)],
                         h, compute_dtype)
 
 
@@ -366,9 +376,11 @@ def init_roughness(key, conf, dtype=jnp.float32) -> Params:
         + (3 if c.use_normal else 0)
     dims = [Din] + [c.feature_size] * (c.layers - 1) + [2]
     # parity quirk: hidden layers are named affine-{l-1} in the reference
-    # (network.py:451), i.e. affine--1, affine-00, ...; keep the same keys so
-    # reference checkpoints map 1:1
-    return _mlp_init(key, dims, conf.use_wn, dtype, name_offset=-1)
+    # (network.py:451) but the LAST layer is affine-{L-1} (no offset), so for
+    # L=4 the keys are affine--1, affine-00, affine-01, affine-03 — keep the
+    # same (gappy) keys so reference checkpoints map 1:1
+    return _mlp_init(key, dims, conf.use_wn, dtype, name_offset=-1,
+                     last_offset=0)
 
 
 def roughness_apply(params, x, feature, normal, conf):
@@ -376,7 +388,7 @@ def roughness_apply(params, x, feature, normal, conf):
     act = get_activation(c.act)
     h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
     h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf),
-                   name_offset=-1)
+                   name_offset=-1, last_offset=0)
     h0, h1 = h[..., 0:1], h[..., 1:2]
     std = softplus(h1)
     r = jax.nn.sigmoid(h0)
@@ -393,7 +405,8 @@ def init_specular_reflectance(key, conf, dtype=jnp.float32) -> Optional[Params]:
     Din = 3 + (conf.geometric_network.feature_size if c.use_geometric_feature else 0) \
         + (3 if c.use_normal else 0)
     dims = [Din] + [c.feature_size] * (c.layers - 1) + [c.channels * 2]
-    return _mlp_init(key, dims, conf.use_wn, dtype, name_offset=-1)
+    return _mlp_init(key, dims, conf.use_wn, dtype, name_offset=-1,
+                     last_offset=0)
 
 
 def specular_reflectance_apply(params, x, feature, normal, conf):
@@ -405,7 +418,7 @@ def specular_reflectance_apply(params, x, feature, normal, conf):
     act = get_activation(c.act)
     h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
     h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf),
-                   name_offset=-1)
+                   name_offset=-1, last_offset=0)
     # parity: reference splits as (h[..., :-Do], h[..., Do:]) which for 2*Do
     # outputs is (first Do, last Do) (network.py:499)
     h0, h1 = h[..., :Do], h[..., Do:]

@@ -232,8 +232,7 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
         f100 = f[2, ..., :D]
     else:
         flat = feature.reshape(-1, D)
-        corner_ids = {}
-        idx_list, w_list, order = [], [], []
+        idx_list, w_list = [], []
         for cx in range(2):
             ix = (i0 if cx == 0 else i1)[..., 0]
             wx = (w0 if cx == 0 else w1)[..., 0]
@@ -482,15 +481,14 @@ def hash_index(x: jax.Array, G: int, T: int,
     xyz0, xyz1 = _corners(xyz, g1)
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
+    # corner order (x-major): x0y0z0, x0y0z1, x0y1z0, ..., x1y1z1 — matches
+    # the reference's idx000..idx111 layout (voxel_hash_feature_cuda.cu:83-99)
     idx = []
     for cx in (i0[..., 0], i1[..., 0]):
         for cy in (i0[..., 1], i1[..., 1]):
             for cz in (i0[..., 2], i1[..., 2]):
                 idx.append(_hash_index(cx, cy, cz, T))
-    # reference corner order: (x0y0z0, x0y0z1, x0y1z0, x0y1z1, x1y0z0, ...)
-    order = [0, 1, 2, 3, 4, 5, 6, 7]
-    stacked = jnp.stack([idx[o] for o in order], axis=-1)
-    return stacked
+    return jnp.stack(idx, axis=-1)
 
 
 def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
@@ -515,7 +513,6 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
     # and every level+corner lookup batches into ONE gather (one fast
     # scatter in the backward).
     flat = feature.reshape(-1, D)
-    per_level = []
     idx_list, w_list = [], []
     for (off, G, T) in levels:
         assert off % D == 0, "level offset not divisible by feature dim"

@@ -40,6 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 _SLAB = int(os.environ.get("NDJIR_SCATTER_SLAB", 4096))   # rows per instance
 _CHUNK = int(os.environ.get("NDJIR_SCATTER_CHUNK", 128))   # rows per DMA
 _SUB = 128        # rows per one-hot/matmul sub-step
+assert _CHUNK % _SUB == 0 and _CHUNK >= _SUB, \
+    "NDJIR_SCATTER_CHUNK must be a positive multiple of 128"
+assert _SLAB % 128 == 0 and _SLAB > 0, \
+    "NDJIR_SCATTER_SLAB must be a positive multiple of 128"
 
 
 _INTERPRET = bool(os.environ.get("NDJIR_PALLAS_INTERPRET"))

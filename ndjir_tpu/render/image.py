@@ -22,7 +22,7 @@ from ndjir_tpu.render.sampler import sample_points
 @partial(jax.jit, static_argnames=("conf",))
 def _render_chunk(params, camloc, raydir, conf):
     B, R, _ = raydir.shape
-    cdfs = make_mc_cdfs(None, conf, B, R, dtype=raydir.dtype)
+    cdfs = make_mc_cdfs(conf, B, R, dtype=raydir.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
@@ -45,14 +45,22 @@ def render_image(params, pose, intrinsic, resolution, conf,
     intrinsic = intrinsic.copy()
     intrinsic[:, :2, :] *= scale  # fx, fy, cx, cy, skew
 
+    # Pad the pixel list to a whole number of P-ray chunks so ONE compiled
+    # chunk shape serves the whole image.  (The reference shrinks P by the
+    # remainder instead, renderer.py:237-241, which only divides evenly by
+    # luck and would otherwise recompile on the last chunk.)
+    P = min(P, W * H)
     xy = generate_all_pixels(W, H).reshape(1, H * W, 2)
-    _, m = divmod(W * H, P)
-    P = P - m  # shrink chunk so it divides the pixel count (reference :237-241)
+    n_pad = (-(W * H)) % P
+    if n_pad:
+        xy = np.concatenate([xy, np.tile(xy[:, -1:, :], (1, n_pad, 1))],
+                            axis=1)
 
-    rimage = np.zeros((1, H * W, 3), np.float32)
-    rnormal = np.zeros((1, H * W, 3), np.float32)
-    rmask = np.zeros((1, H * W, 1), np.float32)
-    for p in range(0, H * W, P):
+    total = xy.shape[1]
+    rimage = np.zeros((1, total, 3), np.float32)
+    rnormal = np.zeros((1, total, 3), np.float32)
+    rmask = np.zeros((1, total, 1), np.float32)
+    for p in range(0, total, P):
         xy_b = xy[:, p:p + P, :]
         raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy_b)
         color, normal, om = _render_chunk(
@@ -62,6 +70,9 @@ def render_image(params, pose, intrinsic, resolution, conf,
         rmask[0, p:p + P] = np.asarray(om).reshape(1, -1, 1)[0] \
             if om.ndim == 3 else np.asarray(om)[0]
 
+    rimage = rimage[:, :H * W]
+    rnormal = rnormal[:, :H * W]
+    rmask = rmask[:, :H * W]
     rimage = np.clip(rimage.reshape(1, H, W, 3).transpose(0, 3, 1, 2), 0, 1)
     if return_aux:
         return rimage, rnormal.reshape(1, H, W, 3), rmask.reshape(1, H, W, 1)

@@ -28,7 +28,7 @@ def total_loss(params, camloc, raydir, color_gt, obj_mask, cos_anneal_ratio,
     B, R, _ = color_gt.shape
     tr = conf.train
 
-    cdfs = make_mc_cdfs(None, conf, B, R, step=step, dtype=color_gt.dtype)
+    cdfs = make_mc_cdfs(conf, B, R, step=step, dtype=color_gt.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,

@@ -58,7 +58,7 @@ def sdf_value_and_spatial_grad(params, x, conf, with_tv=False, tv_sym=True):
     return sdf, feature, gain, grad_x, None
 
 
-def make_mc_cdfs(key_or_conf, conf, B, R, step: Optional[jax.Array] = None,
+def make_mc_cdfs(conf, B, R, step: Optional[jax.Array] = None,
                  dtype=jnp.float32) -> Dict[str, jax.Array]:
     """Monte-Carlo CDF inputs for light-direction sampling.
 

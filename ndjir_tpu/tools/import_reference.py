@@ -30,14 +30,6 @@ import numpy as np
 
 _SKIP = ("cos_anneal_ratio", "photogrammetric-light-network/gain")
 
-_GRID_PARAM_KEYS = {
-    "voxel_feature": "F",
-    "voxel_hash_feature": "F",
-    "triplane_feature": "plane_or_single",
-    "triline_feature": "line_or_single",
-}
-
-
 def load_reference_h5(path: str) -> Dict[str, np.ndarray]:
     import h5py
 

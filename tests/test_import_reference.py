@@ -97,3 +97,38 @@ def test_import_skips_schedule_params(tmp_path):
     assert not unmatched
     assert "photogrammetric-light-network" not in params
     assert abs(float(params["geometric-network"]["gain"][0]) - 0.3) < 1e-6
+
+
+def test_reference_style_roughness_head_names(tmp_path):
+    """The reference names roughness/specular hidden layers affine-{l-1} but
+    the LAST layer affine-{L-1} (gap in the sequence, network.py:451-454);
+    the import map must accept exactly those names."""
+    import h5py
+    import jax
+
+    from ndjir_tpu.models.fields import init_model
+    from ndjir_tpu.tools.import_reference import (
+        convert_reference_params,
+        load_reference_h5,
+        validate_against_template,
+    )
+
+    conf = load_config("tiny_test")   # roughness layers = 2
+    template = init_model(jax.random.PRNGKey(0), conf)
+    L = conf.roughness_network.layers
+    # reference-style names for L=2: hidden affine--1, last affine-01
+    assert f"affine-{L - 1:02d}" in template["roughness-network"]
+    assert "affine--1" in template["roughness-network"]
+    assert f"affine-{L - 2:02d}" not in template["roughness-network"] or L <= 2
+
+    h5p = str(tmp_path / "rough.h5")
+    with h5py.File(h5p, "w") as f:
+        for lname, p in template["roughness-network"].items():
+            for k in ("W", "b"):
+                f.create_dataset(f"roughness-network/{lname}/affine/{k}",
+                                 data=np.asarray(p[k]))
+    params, unmatched = convert_reference_params(load_reference_h5(h5p), conf)
+    assert not unmatched
+    probs = validate_against_template(
+        {"roughness-network": template["roughness-network"]}, params)
+    assert not probs, probs

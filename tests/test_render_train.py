@@ -40,7 +40,7 @@ def test_sampler_shapes_and_monotone(conf, params, batch):
     B, R, _ = raydir.shape
     r = conf.renderer
     N = r.n_samples0 + r.n_samples1 * r.n_upsamples
-    cdfs = make_mc_cdfs(None, conf, B, R)
+    cdfs = make_mc_cdfs(conf, B, R)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     assert x_fg.shape == (B, R, N, 3)
@@ -69,7 +69,7 @@ def test_sampler_concentrates_near_surface(conf, params, batch):
     than the stratified init does (NeuS invariant)."""
     camloc, raydir = batch
     B, R, _ = raydir.shape
-    cdfs = make_mc_cdfs(None, conf, B, R)
+    cdfs = make_mc_cdfs(conf, B, R)
     x_fg, t_fg, *_ = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     from ndjir_tpu.models.fields import geometric_apply
@@ -83,7 +83,7 @@ def test_sampler_concentrates_near_surface(conf, params, batch):
 def test_pb_render_outputs(conf, params, batch):
     camloc, raydir = batch
     B, R, _ = raydir.shape
-    cdfs = make_mc_cdfs(None, conf, B, R)
+    cdfs = make_mc_cdfs(conf, B, R)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
@@ -171,11 +171,21 @@ def test_fresh_seeds_mode(conf, params, batch):
     """fixed_graph_seeds=false folds the step into every CDF draw."""
     conf_fresh = load_config("tiny_test",
                              overrides=["renderer.fixed_graph_seeds=false"])
-    c0 = make_mc_cdfs(None, conf_fresh, 2, 4, step=jnp.int32(0))
-    c1 = make_mc_cdfs(None, conf_fresh, 2, 4, step=jnp.int32(1))
+    c0 = make_mc_cdfs(conf_fresh, 2, 4, step=jnp.int32(0))
+    c1 = make_mc_cdfs(conf_fresh, 2, 4, step=jnp.int32(1))
     assert not np.allclose(np.asarray(c0["stratified"]),
                            np.asarray(c1["stratified"]))
-    cfix0 = make_mc_cdfs(None, conf, 2, 4, step=jnp.int32(0))
-    cfix1 = make_mc_cdfs(None, conf, 2, 4, step=jnp.int32(1))
+    cfix0 = make_mc_cdfs(conf, 2, 4, step=jnp.int32(0))
+    cfix1 = make_mc_cdfs(conf, 2, 4, step=jnp.int32(1))
     np.testing.assert_array_equal(np.asarray(cfix0["stratified"]),
                                   np.asarray(cfix1["stratified"]))
+
+
+def test_config_nested_assignment_sticks():
+    """Nested Config views must write through to the underlying tree (the
+    trainer patches conf.valid.dtumvs.mesh_path before Chamfer)."""
+    conf = load_config("tiny_test")
+    conf.valid.dtumvs.mesh_path = "/some/mesh.obj"
+    assert conf.valid.dtumvs.mesh_path == "/some/mesh.obj"
+    conf["train"]["n_rays"] = 99
+    assert conf.train.n_rays == 99
