@@ -238,7 +238,11 @@ def geometric_apply(params: Params, x: jax.Array, conf,
             h = affine_apply(params[name], h, cdt)
             if l < L - 1:
                 h = act(h)
-                if (l + 1) in skip_layers:
+                # the skip concat only follows INTERMEDIATE layers (the
+                # reference's first/skip branches never concat,
+                # network.py:196-224), so adjacent skips stay well-shaped
+                if (l + 1) in skip_layers and l != 0 \
+                        and l not in skip_layers:
                     h = jnp.concatenate([h, inputs], axis=-1)
                     if g.use_inv_square:
                         h = h / np.sqrt(2)

@@ -20,23 +20,32 @@ from ndjir_tpu.render.sampler import sample_points
 
 
 @partial(jax.jit, static_argnames=("conf",))
-def _render_chunk(params, camloc, raydir, conf):
+def _render_chunk(params, camloc, raydir, lv_gain, conf):
     B, R, _ = raydir.shape
     cdfs = make_mc_cdfs(conf, B, R, dtype=raydir.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
-        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf,
+        rand_u=cdfs["upsample"])
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
-                    jnp.asarray(1.0), jnp.asarray(1.0), cdfs, conf)
+                    jnp.asarray(1.0), lv_gain, cdfs, conf)
     return res["color_pixel"], res["normal_pixel"], res["obj_mask_pred"]
 
 
 def render_image(params, pose, intrinsic, resolution, conf,
-                 return_aux: bool = False):
+                 return_aux: bool = False, lv_gain: float | None = None):
     """Render one view.  pose (1,4,4); intrinsic (1,3,3); resolution (W, H).
 
+    ``lv_gain`` is the photogrammetric-light sigmoid gain; defaults to the
+    END of the training schedule (what a fully-trained model was optimized
+    for; the reference renders with the last persisted gain value).  The
+    trainer passes the current epoch's scheduled value during validation.
     Returns NCHW float image in [0,1] (reference convention,
     renderer.py:267-268), optionally plus normal/mask maps.
     """
+    if lv_gain is None:
+        from ndjir_tpu.train.schedules import light_visibility_gain
+
+        lv_gain = light_visibility_gain(conf.train.epoch, conf)
     scale = 1.0 / 2 ** conf.valid.n_down_samples
     W, H = resolution
     W, H = int(W * scale), int(H * scale)
@@ -64,7 +73,8 @@ def render_image(params, pose, intrinsic, resolution, conf,
         xy_b = xy[:, p:p + P, :]
         raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy_b)
         color, normal, om = _render_chunk(
-            params, jnp.asarray(camloc), jnp.asarray(raydir), conf)
+            params, jnp.asarray(camloc), jnp.asarray(raydir),
+            jnp.float32(lv_gain), conf)
         rimage[0, p:p + P] = np.asarray(color)[0]
         rnormal[0, p:p + P] = np.asarray(normal)[0]
         rmask[0, p:p + P] = np.asarray(om).reshape(1, -1, 1)[0] \

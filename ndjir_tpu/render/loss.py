@@ -30,7 +30,8 @@ def total_loss(params, camloc, raydir, color_gt, obj_mask, cos_anneal_ratio,
 
     cdfs = make_mc_cdfs(conf, B, R, step=step, dtype=color_gt.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
-        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf,
+        rand_u=cdfs["upsample"])
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
                     cos_anneal_ratio, lv_gain, cdfs, conf)
 

@@ -38,6 +38,7 @@ from ndjir_tpu.ops.directions import (
     sample_importance_directions,
     sample_uniform_directions,
 )
+from ndjir_tpu.render.sampler import _exclusive_cumprod
 
 
 def sdf_value_and_spatial_grad(params, x, conf, with_tv=False, tv_sym=True):
@@ -85,6 +86,9 @@ def make_mc_cdfs(conf, B, R, step: Optional[jax.Array] = None,
                      (B, R, r.n_samples0, 1)),
         background=1e-5 + (1 - 1e-5) * u(r.background_sample_seed,
                                          (B, R, r.n_bg_samples + 1, 1)),
+        upsample=[u(r.stratified_sample_seed + 1000 + i,
+                    (B, R, r.n_samples1))
+                  for i in range(r.n_upsamples)],
         perturb=jax.random.normal(
             jax.random.PRNGKey(conf.train.base_color_perturb_seed)
             if r.fixed_graph_seeds or step is None
@@ -140,9 +144,7 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
 
     # joint fg+bg transmittance (renderer.py:79-84)
     alpha = jnp.concatenate([alpha_fg * mask, alpha_bg], axis=2)
-    cp = jnp.cumprod(1.0 - alpha, axis=2)
-    trans = jnp.concatenate(
-        [jnp.ones((B, R, 1, 1), alpha.dtype), cp[:, :, :-1, :]], axis=2)
+    trans = _exclusive_cumprod(1.0 - alpha, axis=2)
     weights = alpha * trans
     trans_fg = trans[:, :, :N, :]
     weights_fg = weights[:, :, :N, :]

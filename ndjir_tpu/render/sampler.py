@@ -56,9 +56,7 @@ def t_near_far(camloc: jax.Array, raydir: jax.Array, conf):
         t_far = midpoint + radius
         mask = jnp.ones((B, R, 1), camloc.dtype)
     elif method == "intersect_with_camloc_dists":
-        d = jnp.linalg.norm(camloc, axis=-1, keepdims=True)[:, None, :]
-        t_near = jnp.broadcast_to(d - radius, (B, R, 1))
-        t_far = jnp.broadcast_to(d + radius, (B, R, 1))
+        t_near, t_far = _camloc_dists_range(camloc, raydir, radius)
         mask = jnp.ones((B, R, 1), camloc.dtype)
     else:
         raise ValueError(f"Unsupported t_near_far method: {method}")
@@ -97,8 +95,6 @@ def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
     sdf, _, _ = geometric_apply(params["geometric-network"], x, conf)
     sdf = jax.lax.stop_gradient(sdf)
 
-    ts_end = t[:, :, Nt - 1:Nt, :]
-
     # robust section slope: clamped min of this and previous section's cos
     sdf0, sdf1 = sdf[:, :, :-1, :], sdf[:, :, 1:, :]
     t0, t1 = t[:, :, :-1, :], t[:, :, 1:, :]
@@ -125,6 +121,10 @@ def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
         uu = jnp.arange(M, dtype=t.dtype) / (M - 1 + 1.0 / M)  # in [0, 1)
         uu = jnp.broadcast_to(uu.reshape(1, 1, M), (B, R, M))
     else:
+        if u is None:
+            raise ValueError(
+                "renderer.deterministic=false needs per-round uniforms; "
+                "pass cdfs['upsample'] as rand_u (see make_mc_cdfs)")
         uu = u  # caller-provided uniforms (B, R, M)
     idx = jax.vmap(jax.vmap(jnp.searchsorted))(cumsum, uu)  # (B, R, M)
     idx = jnp.minimum(idx, Nt - 2)
@@ -133,9 +133,10 @@ def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
     lower = jnp.take_along_axis(cumsum0, idx, axis=2)
     ratio = ((uu - lower) / denorm).reshape(B, R, M, 1)
 
-    steps = jnp.concatenate(
-        [t[:, :, 1:, :] - t[:, :, :-1, :],
-         t_far.reshape(B, R, 1, 1) - ts_end], axis=2)  # (B, R, Nt, 1)
+    # (Nt-1 section widths; the reference appends a [t_last, t_far] tail row,
+    # sampler.py:231-232, but its own u<1 guard keeps idx <= Nt-2, so the
+    # tail is unreachable — here idx is clipped explicitly instead)
+    steps = t[:, :, 1:, :] - t[:, :, :-1, :]
     steps_idx = jnp.take_along_axis(steps, idx[..., None], axis=2)
     ts_idx = jnp.take_along_axis(t, idx[..., None], axis=2)
 

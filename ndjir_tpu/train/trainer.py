@@ -143,7 +143,9 @@ class Trainer:
         pose = self.ds.poses[idx:idx + 1]
         intrinsic = self.ds.intrinsics[idx:idx + 1]
         rimage = render_image(self.params, pose, intrinsic,
-                              (self.ds.W, self.ds.H), conf)
+                              (self.ds.W, self.ds.H), conf,
+                              lv_gain=schedules.light_visibility_gain(
+                                  epoch, conf))
         dn = 2 ** conf.valid.n_down_samples
         gt = self.ds.images[idx][::dn, ::dn, :]
         gt = gt[np.newaxis].transpose(0, 3, 1, 2)

@@ -189,3 +189,35 @@ def test_config_nested_assignment_sticks():
     assert conf.valid.dtumvs.mesh_path == "/some/mesh.obj"
     conf["train"]["n_rays"] = 99
     assert conf.train.n_rays == 99
+
+
+def test_stochastic_upsampling_mode(conf, params, batch):
+    """renderer.deterministic=false draws per-round uniforms from the CDFs."""
+    conf_s = load_config("tiny_test", overrides=["renderer.deterministic=false"])
+    camloc, raydir = batch
+    B, R, _ = raydir.shape
+    cdfs = make_mc_cdfs(conf_s, B, R)
+    assert len(cdfs["upsample"]) == conf_s.renderer.n_upsamples
+    x_fg, t_fg, *_ = sample_points(
+        params, camloc, raydir, cdfs["stratified"], cdfs["background"],
+        conf_s, rand_u=cdfs["upsample"])
+    assert np.isfinite(np.asarray(x_fg)).all()
+    dt = np.diff(np.asarray(t_fg)[..., 0], axis=2)
+    assert np.all(dt >= -1e-6)
+    # missing uniforms raise a clear error instead of a NoneType crash
+    with pytest.raises(ValueError, match="deterministic"):
+        sample_points(params, camloc, raydir, cdfs["stratified"],
+                      cdfs["background"], conf_s)
+
+
+def test_adjacent_skip_layer_config():
+    """skip_layers=[1] (adjacent to layer 0) must be well-shaped (the
+    reference's first/skip branches never concat)."""
+    conf_s = load_config("tiny_test", overrides=[
+        "geometric_network.skip_layers=[1]",
+        "geometric_network.feature_size=64"])
+    p = init_model(jax.random.PRNGKey(0), conf_s)
+    from ndjir_tpu.models.fields import geometric_apply
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3), minval=-1, maxval=1)
+    sdf, feat, gain = geometric_apply(p["geometric-network"], x, conf_s)
+    assert sdf.shape == (5, 1) and np.isfinite(np.asarray(sdf)).all()
