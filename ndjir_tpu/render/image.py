@@ -69,12 +69,16 @@ def render_image(params, pose, intrinsic, resolution, conf,
     rimage = np.zeros((1, total, 3), np.float32)
     rnormal = np.zeros((1, total, 3), np.float32)
     rmask = np.zeros((1, total, 1), np.float32)
+    # dispatch every chunk asynchronously, then fetch — overlaps the remote
+    # dispatch/transfer latency instead of a host round-trip per chunk
+    pending = []
     for p in range(0, total, P):
         xy_b = xy[:, p:p + P, :]
         raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy_b)
-        color, normal, om = _render_chunk(
+        pending.append((p, _render_chunk(
             params, jnp.asarray(camloc), jnp.asarray(raydir),
-            jnp.float32(lv_gain), conf)
+            jnp.float32(lv_gain), conf)))
+    for p, (color, normal, om) in pending:
         rimage[0, p:p + P] = np.asarray(color)[0]
         rnormal[0, p:p + P] = np.asarray(normal)[0]
         rmask[0, p:p + P] = np.asarray(om).reshape(1, -1, 1)[0] \
