@@ -38,6 +38,8 @@ class IDRDataset:
 
         self.images, self.masks, self.intrinsics, self.poses = \
             self._load(self.path)
+        # kept for reference parity (dataset.py:155 computes it too; ray
+        # generation re-inverts per batch in both implementations)
         self.intrinsics_inv = np.linalg.inv(self.intrinsics)
 
         H, W, _ = self.images[0].shape
@@ -106,8 +108,12 @@ class IDRDataset:
             nW = n // 2
             nH = n - nW
         pH, pW = 2 ** nH, 2 ** nW
-        H0 = self.rng.randint(0, H - pH)
-        W0 = self.rng.randint(0, W - pW)
+        if pH > H or pW > W:
+            raise ValueError(
+                f"patch {pH}x{pW} (from n_rays={self.n_rays}) exceeds the "
+                f"{H}x{W} image")
+        H0 = self.rng.randint(0, max(H - pH, 1))
+        W0 = self.rng.randint(0, max(W - pW, 1))
         xy = np.asarray(np.meshgrid(np.arange(W0, W0 + pW),
                                     np.arange(H0, H0 + pH))).T.reshape(-1, 2)
         idx = xy[:, 1] * W + xy[:, 0]
@@ -118,8 +124,13 @@ class IDRDataset:
         n_mask = int(ratio * self.n_rays)
         n_free = self.n_rays - n_mask
         midxs = np.where(mask.flatten() >= 0.5)[0]
-        midxs = midxs[self.rng.randint(0, len(midxs), n_mask)]
         nidxs = np.where(mask.flatten() < 0.5)[0]
+        # all-foreground / all-background views: fall back to the other set
+        if len(midxs) == 0:
+            midxs = nidxs
+        if len(nidxs) == 0:
+            nidxs = midxs
+        midxs = midxs[self.rng.randint(0, len(midxs), n_mask)]
         nidxs = nidxs[self.rng.randint(0, len(nidxs), n_free)]
         idx = np.concatenate([midxs, nidxs])
         y = idx // self.W

@@ -122,13 +122,15 @@ def _to_rgb(color: np.ndarray, fill_dim: int) -> np.ndarray:
 
 
 _ATTR_SPECS = [
-    # (attr name, fill dim (channels==1), is_std)
+    # (attr name, fill dim when the value is 1-channel, is_std) — fill dims
+    # match reference extract_by_mc.py:199-207 (illum -> blue, roughness ->
+    # green, 1-channel specular -> red)
     ("base_color", -1, False),
     ("implicit_illumination", 2, False),
     ("roughness", 1, False),
-    ("specular_reflectance", -1, False),
+    ("specular_reflectance", 0, False),
     ("roughness_std", 1, True),
-    ("specular_reflectance_std", -1, True),
+    ("specular_reflectance_std", 0, True),
 ]
 
 
@@ -136,15 +138,14 @@ def save_attributed_meshes(params, conf, dirname, fname, verts, tris,
                            mesh_type: str, idx: int, train: bool) -> str:
     G = conf.extraction.rough_grid_size if train else conf.extraction.grid_size
     fpath = ""
-    for attr, fill_dim_3ch, is_std in _ATTR_SPECS:
+    for attr, fill_dim_1ch, is_std in _ATTR_SPECS:
         vc = compute_vertex_attribute(params, conf, verts, attr)
-        fill = fill_dim_3ch if vc.shape[-1] == 1 else -1
-        if attr == "implicit_illumination" \
-                and conf.implicit_illumination_network.channels != 1:
-            fill = -1
-        if is_std and vc.max() > 0:
-            vc = vc / vc.max()
+        fill = fill_dim_1ch if vc.shape[-1] == 1 else -1
         colors = _to_rgb(vc, fill)
+        # stds normalize AFTER the [0,1] clip (reference order,
+        # extract_by_mc.py:213-216)
+        if is_std and colors.max() > 0:
+            colors = colors / colors.max()
         fpath = os.path.join(
             dirname, f"{fname}_{G}grid_{mesh_type}_{attr}_mesh{idx:02d}.obj")
         save_obj(fpath, verts, tris, colors)

@@ -8,8 +8,8 @@ gradient all-reduce over ICI automatically from the sharding annotations and
 overlaps it with the backward pass.
 
 Multi-host: the same program runs under ``jax.distributed.initialize()``;
-each host feeds its process-local shard of the ray batch
-(``ShardingPlan.local_batch_slice``), and the named sharding spans all hosts.
+each host calls ``shard_batch`` with its full-size host array and
+``jax.device_put`` distributes it over the global named sharding.
 """
 
 from __future__ import annotations

@@ -108,7 +108,6 @@ class MultiSceneTrainer:
         self.params_s = stack(params_list)
         self.opt_state_s = stack(opt_list)
 
-        scene_sharding = NamedSharding(mesh, P(self.plan.names[0]))
         self.params_s = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, NamedSharding(
                 mesh, P(self.plan.names[0], *([None] * (x.ndim - 1))))),
@@ -152,10 +151,16 @@ class MultiSceneTrainer:
         iters = min(ds.iters_per_epoch for ds in self.datasets)
         mon = {}
         for epoch in range(E):
-            lr_w = schedules.learning_rate(epoch, self.lr_w_base, conf)
-            lr_f = schedules.learning_rate(epoch, self.lr_f_base, conf)
-            car = schedules.cos_anneal_ratio(epoch, conf)
-            lvg = schedules.light_visibility_gain(epoch, conf)
+            # schedule(e-1) with epoch-0 initial values (reference parity;
+            # see Trainer.train)
+            if epoch == 0:
+                lr_w = lr_f = 0.0
+                car, lvg = 0.0, 1.0
+            else:
+                lr_w = schedules.learning_rate(epoch - 1, self.lr_w_base, conf)
+                lr_f = schedules.learning_rate(epoch - 1, self.lr_f_base, conf)
+                car = schedules.cos_anneal_ratio(epoch - 1, conf)
+                lvg = schedules.light_visibility_gain(epoch - 1, conf)
             for it in range(iters):
                 camloc, raydir, color, mask = self.next_batch()
                 self.params_s, self.opt_state_s, mon = multi_scene_train_step(

@@ -21,13 +21,17 @@ from flax import serialization
 def save_checkpoint(path: str, step: int, params, opt_state=None,
                     extra: Optional[Dict[str, Any]] = None,
                     keep: int = 3) -> str:
+    fpath = os.path.join(path, f"ckpt_{step:07d}.msgpack")
+    # multi-host: params are replicated, so only process 0 writes (a shared
+    # monitor path would otherwise see N concurrent writers on one file)
+    if jax.process_index() != 0:
+        return fpath
     os.makedirs(path, exist_ok=True)
     state = {"params": jax.device_get(params)}
     if opt_state is not None:
         state["opt_state"] = jax.device_get(opt_state)
     blob = serialization.to_bytes(state)
-    fpath = os.path.join(path, f"ckpt_{step:07d}.msgpack")
-    tmp = fpath + ".tmp"
+    tmp = fpath + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, fpath)

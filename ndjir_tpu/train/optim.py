@@ -32,13 +32,6 @@ class OptState(NamedTuple):
     adam: Any
 
 
-def param_labels(params):
-    """'feat' for grid-feature leaves, 'weight' otherwise."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: "feat" if is_grid_feature_path(path) else "weight",
-        params)
-
-
 _ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
@@ -54,7 +47,6 @@ def apply_updates(params, grads, state: OptState, lr_weight, lr_feat,
                   conf) -> Tuple[Any, OptState, jax.Array]:
     """One optimizer step; returns (params, state, grads_finite flag)."""
     wd = conf.train.weight_decay
-    labels = param_labels(params)
 
     # L2 weight decay folded into the gradient (nnabla semantics)
     if wd > 0:
@@ -75,7 +67,6 @@ def apply_updates(params, grads, state: OptState, lr_weight, lr_feat,
         lambda path, p, u: p - (lr_feat if is_grid_feature_path(path)
                                 else lr_weight) * u,
         params, updates)
-    del labels
 
     # skip the whole step (params AND moments) on non-finite grads
     new_params = jax.tree_util.tree_map(

@@ -159,7 +159,8 @@ class Trainer:
             fpath = extract_mesh_for_validation(self.params, self.conf,
                                                 self.monitor_path, epoch,
                                                 final=final, dataset=self.ds)
-        except ImportError:
+        except Exception as e:  # extraction must never kill training
+            logger.info(f"Mesh extraction failed (continuing): {e!r}")
             fpath = ""
         # DTU scenes: Chamfer on the final mesh (reference: train.py:114-118)
         if final and fpath and _is_dtu_data(conf.data_path):
@@ -187,10 +188,18 @@ class Trainer:
                     and not conf.valid.skip):
                 self.validate(epoch)
 
-            lr_w = schedules.learning_rate(epoch, self.lr_w_base, conf)
-            lr_f = schedules.learning_rate(epoch, self.lr_f_base, conf)
-            car = schedules.cos_anneal_ratio(epoch, conf)
-            lvg = schedules.light_visibility_gain(epoch, conf)
+            # reference parity: solvers.update_learning_rate(i) runs at the
+            # END of epoch i (train.py:163), so epoch e trains with the
+            # schedule evaluated at e-1, and epoch 0 uses the initial values
+            # lr=0 / cos_anneal=0 / lv_gain=1 (solver.py:29, train.py:75-77)
+            if epoch == 0:
+                lr_w = lr_f = 0.0
+                car, lvg = 0.0, 1.0
+            else:
+                lr_w = schedules.learning_rate(epoch - 1, self.lr_w_base, conf)
+                lr_f = schedules.learning_rate(epoch - 1, self.lr_f_base, conf)
+                car = schedules.cos_anneal_ratio(epoch - 1, conf)
+                lvg = schedules.light_visibility_gain(epoch - 1, conf)
 
             mon: Dict[str, Any] = {}
             for it in range(iters):
