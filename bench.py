@@ -43,13 +43,20 @@ def main():
     config = os.environ.get("NDJIR_BENCH_CONFIG", "default")
     mlp_dtype = os.environ.get("NDJIR_BENCH_MLP_DTYPE", "bfloat16")
 
-    conf = load_config(config, overrides=[
+    overrides = [
         f"geometric_network.voxel.grid_size={grid}",
         # bf16 MXU with f32 accumulation is the production TPU precision
         # (loss parity to ~3e-4); set NDJIR_BENCH_MLP_DTYPE=float32 for the
         # strict-parity path.
         f"precision.mlp_dtype={mlp_dtype}",
-    ])
+    ]
+    # NDJIR_BENCH_PROPOSAL=coarse_grid A/Bs the cached-proposal opt-in
+    # (amortized refresh included in the timed loop); default is the
+    # reference-parity network-proposal path.
+    proposal = os.environ.get("NDJIR_BENCH_PROPOSAL", "")
+    if proposal:
+        overrides.append(f"renderer.proposal_method={proposal}")
+    conf = load_config(config, overrides=overrides)
     B, R = conf.train.batch_size, conf.train.n_rays
 
     key = jax.random.PRNGKey(0)
@@ -66,6 +73,18 @@ def main():
     args = (jnp.float32(0.5), jnp.float32(1.0), jnp.float32(5e-4),
             jnp.float32(5e-4))
 
+    # fixed graph seeds => MC uniforms are step-invariant; hoist them
+    from ndjir_tpu.render.renderer import make_mc_cdfs
+    cdfs = jax.jit(lambda: make_mc_cdfs(conf, B, R))() \
+        if conf.renderer.fixed_graph_seeds else None
+
+    refresh = pgrid = None
+    refresh_k = int(conf.renderer.get("proposal_refresh_interval", 16))
+    if conf.renderer.get("proposal_method", "network") == "coarse_grid":
+        from ndjir_tpu.render.sampler import make_proposal_grid
+        refresh = jax.jit(lambda p: make_proposal_grid(p, conf))
+        pgrid = refresh(params)
+
     import numpy as np
 
     def sync(tree):
@@ -78,14 +97,16 @@ def main():
     # warmup / compile
     params, opt_state, mon = train_step(
         params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
-        jnp.int32(0), conf)
+        jnp.int32(0), conf, cdfs=cdfs, proposal_grid=pgrid)
     sync((params, mon))
 
     t0 = time.perf_counter()
     for i in range(n_steps):
+        if refresh is not None and (i + 1) % refresh_k == 0:
+            pgrid = refresh(params)
         params, opt_state, mon = train_step(
             params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
-            jnp.int32(i + 1), conf)
+            jnp.int32(i + 1), conf, cdfs=cdfs, proposal_grid=pgrid)
     sync((params, mon))
     dt = time.perf_counter() - t0
 

@@ -19,19 +19,25 @@ from ndjir_tpu.render.sampler import sample_points
 
 
 def total_loss(params, camloc, raydir, color_gt, obj_mask, cos_anneal_ratio,
-               lv_gain, conf, step: Optional[jax.Array] = None
+               lv_gain, conf, step: Optional[jax.Array] = None,
+               cdfs: Optional[Dict[str, jax.Array]] = None,
+               proposal_grid: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Returns (scalar loss, dict of per-term monitors).
 
     camloc (B, 3); raydir (B, R, 3); color_gt (B, R, 3); obj_mask (B, R, 1).
+    ``cdfs`` lets the caller pass precomputed Monte-Carlo uniforms: with the
+    reference's fixed graph seeds they are step-invariant, so generating them
+    once outside the step saves the per-step threefry work (~1.3M uniforms).
     """
     B, R, _ = color_gt.shape
     tr = conf.train
 
-    cdfs = make_mc_cdfs(conf, B, R, step=step, dtype=color_gt.dtype)
+    if cdfs is None:
+        cdfs = make_mc_cdfs(conf, B, R, step=step, dtype=color_gt.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
         params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf,
-        rand_u=cdfs["upsample"])
+        rand_u=cdfs["upsample"], proposal_grid=proposal_grid)
     res = pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
                     cos_anneal_ratio, lv_gain, cdfs, conf)
 

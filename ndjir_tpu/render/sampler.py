@@ -83,17 +83,26 @@ def sample_stratified(t_near, t_far, stratified_u, n_samples0):
     return tn + step * (i + stratified_u)
 
 
-def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
-    """One NeuS hierarchical upsampling round (reference: sampler.py:189-241).
+def _proposal_sdf(params, conf, camloc, raydir, t):
+    """Stop-gradient SDF at sample positions t (proposal data generation)."""
+    B, R = t.shape[:2]
+    x = camloc.reshape(B, 1, 1, 3) + t * raydir.reshape(B, R, 1, 3)
+    sdf, _, _ = geometric_apply(params["geometric-network"], x, conf)
+    return jax.lax.stop_gradient(sdf)
 
-    t (B, R, Nt, 1) sorted -> (B, R, Nt + M, 1) sorted.
+
+def _propose_t(conf, t, sdf, t_near, t_far, gain, u):
+    """One NeuS hierarchical proposal round (reference: sampler.py:189-241).
+
+    Takes t (B, R, Nt, 1) sorted and the SDF values at those positions and
+    returns the M new sample positions (B, R, M, 1).  The SDF evaluations are
+    hoisted out (see sample_importance): positions surviving from earlier
+    rounds keep their cached SDF, so each round only costs M fresh network
+    evaluations instead of Nt — identical values, 3x fewer proposal evals at
+    the default 64 + 4x16 schedule.
     """
     B, R, Nt, _ = t.shape
     M = conf.renderer.n_samples1
-
-    x = camloc.reshape(B, 1, 1, 3) + t * raydir.reshape(B, R, 1, 3)
-    sdf, _, _ = geometric_apply(params["geometric-network"], x, conf)
-    sdf = jax.lax.stop_gradient(sdf)
 
     # robust section slope: clamped min of this and previous section's cos
     sdf0, sdf1 = sdf[:, :, :-1, :], sdf[:, :, 1:, :]
@@ -141,16 +150,34 @@ def _upsample_round(params, conf, camloc, raydir, t_near, t_far, t, gain, u):
     ts_idx = jnp.take_along_axis(t, idx[..., None], axis=2)
 
     t_new = ts_idx + steps_idx * ratio
-    t_new = jnp.clip(t_new, t_near.reshape(B, R, 1, 1),
-                     t_far.reshape(B, R, 1, 1))
-    t = jnp.concatenate([t, t_new], axis=2)
-    return jnp.sort(t, axis=2)
+    return jnp.clip(t_new, t_near.reshape(B, R, 1, 1),
+                    t_far.reshape(B, R, 1, 1))
+
+
+def _merge_sorted(t, sdf, t_new, sdf_new):
+    """Merge (t, sdf) with the new samples, kept sorted by t.
+
+    Multi-operand lax.sort carries the cached SDF values alongside the
+    positions (~3x cheaper than argsort + gather on TPU)."""
+    tc = jnp.concatenate([t, t_new], axis=2)[..., 0]
+    sc = jnp.concatenate([sdf, sdf_new], axis=2)[..., 0]
+    ts, ss = jax.lax.sort((tc, sc), dimension=2, num_keys=1)
+    return ts[..., None], ss[..., None]
 
 
 def sample_importance(params, conf, camloc, raydir, t_near, t_far, t,
-                      rand_u=None):
+                      rand_u=None, sdf_fn=None):
     """U rounds of hierarchical upsampling with gain 64 * 2^u
-    (reference: sampler.py:167-242).  Entirely inside jit; shapes static."""
+    (reference: sampler.py:167-242).  Entirely inside jit; shapes static.
+
+    SDF values are evaluated once per position and carried through the
+    merge-sorts (multi-operand lax.sort), so round u only evaluates the M new
+    positions from round u-1 — numerically identical to the reference's
+    re-evaluate-everything scheme (sampler.py:189: same positions, same
+    params, same values) at 112 instead of 352 evals/ray for the default
+    64 + 4x16 schedule.  ``sdf_fn`` overrides the proposal SDF source (the
+    coarse-grid opt-in); default is the full geometric network.
+    """
     U = conf.renderer.n_upsamples
     base_gain = conf.renderer.sampling_sigmoid_gain
     grid = params.get("geometric-network", {}).get("grid") \
@@ -168,10 +195,18 @@ def sample_importance(params, conf, camloc, raydir, t_near, t_far, t,
                 lambda f: f.astype(jnp.bfloat16), grid)
             params = dict(params)
             params["geometric-network"] = geo
+    if sdf_fn is None:
+        def sdf_fn(t_):
+            return _proposal_sdf(params, conf, camloc, raydir, t_)
+    sdf = sdf_fn(t)
     for u in range(U):
         uu = None if rand_u is None else rand_u[u]
-        t = _upsample_round(params, conf, camloc, raydir, t_near, t_far, t,
-                            base_gain * 2 ** u, uu)
+        t_new = _propose_t(conf, t, sdf, t_near, t_far, base_gain * 2 ** u, uu)
+        if u < U - 1:
+            t, sdf = _merge_sorted(t, sdf, t_new, sdf_fn(t_new))
+        else:
+            # the final round's new positions never need an SDF value
+            t = jnp.sort(jnp.concatenate([t, t_new], axis=2), axis=2)
     return t
 
 
@@ -183,24 +218,65 @@ def sample_background(t_base, background_u):
     return jnp.sort(t, axis=2)
 
 
+def make_proposal_grid(params, conf):
+    """SDF snapshot on a G_c^3 lattice over the bounding box (the coarse-grid
+    proposal opt-in, ``renderer.proposal_method=coarse_grid``).
+
+    An occupancy-grid-flavored accelerator in the Instant-NGP tradition: the
+    hierarchical sampler reads trilinear interpolations of this cached
+    snapshot instead of running the full geometric network per proposal.
+    Sample *placement* shifts slightly (bounded by the SDF's Lipschitz bound
+    and the 2r/G_c cell size); the differentiated pipeline is untouched.
+    Refresh on the trainer's cadence (``renderer.proposal_refresh_interval``).
+    """
+    Gc = int(conf.renderer.get("proposal_grid_size", 64))
+    r = conf.renderer.bounding_sphere_radius
+    lin = jnp.linspace(-r, r, Gc)
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    sdf, _, _ = geometric_apply(params["geometric-network"], pts, conf)
+    return jax.lax.stop_gradient(sdf).reshape(Gc, Gc, Gc, 1)
+
+
+def _coarse_grid_sdf_fn(proposal_grid, conf, camloc, raydir):
+    from ndjir_tpu.ops.grid import query_voxel
+
+    r = conf.renderer.bounding_sphere_radius
+    B, R, _ = raydir.shape
+
+    def sdf_fn(t_):
+        x = camloc.reshape(B, 1, 1, 3) + t_ * raydir.reshape(B, R, 1, 3)
+        return query_voxel(x, proposal_grid, (-r,) * 3, (r,) * 3)
+
+    return sdf_fn
+
+
 def sample_points(params, camloc, raydir, stratified_u, background_u, conf,
-                  rand_u=None) -> Tuple[jax.Array, ...]:
+                  rand_u=None, proposal_grid=None) -> Tuple[jax.Array, ...]:
     """Full point-sampling pass (reference: sampler.py:256-299).
 
     The proposal SDF evaluations run under stop_gradient: sampling is data
     generation, not part of the differentiated graph (reference makes this a
     non-differentiable PythonFunction; SURVEY.md section 1 "notable
-    inversion").
+    inversion").  ``proposal_grid`` (from :func:`make_proposal_grid`) swaps
+    the proposal SDF source to cached coarse-grid reads when
+    ``renderer.proposal_method == "coarse_grid"``.
     """
     B, R, _ = raydir.shape
     sg = jax.lax.stop_gradient
     camloc_s, raydir_s = sg(camloc), sg(raydir)
 
+    sdf_fn = None
+    if (conf.renderer.get("proposal_method", "network") == "coarse_grid"
+            and proposal_grid is not None):
+        sdf_fn = _coarse_grid_sdf_fn(sg(proposal_grid), conf, camloc_s,
+                                     raydir_s)
+
     t_near, t_far, mask = t_near_far(camloc_s, raydir_s, conf)
     t = sample_stratified(t_near, t_far, stratified_u, conf.renderer.n_samples0)
     t = sample_importance(
         jax.tree_util.tree_map(sg, params), conf, camloc_s, raydir_s,
-        t_near, t_far, t, rand_u)
+        t_near, t_far, t, rand_u, sdf_fn=sdf_fn)
     t = sg(t)
 
     x_fg = camloc_s.reshape(B, 1, 1, 3) + t * raydir_s.reshape(B, R, 1, 3)

@@ -44,10 +44,12 @@ from ndjir_tpu.utils.runtime import setup_compilation_cache
 
 @partial(jax.jit, static_argnames=("conf",), donate_argnums=(0, 1))
 def train_step(params, opt_state, camloc, raydir, color_gt, obj_mask,
-               cos_anneal, lv_gain, lr_weight, lr_feat, step, conf):
+               cos_anneal, lv_gain, lr_weight, lr_feat, step, conf,
+               cdfs=None, proposal_grid=None):
     def lossfn(p):
         return total_loss(p, camloc, raydir, color_gt, obj_mask, cos_anneal,
-                          lv_gain, conf, step=step)
+                          lv_gain, conf, step=step, cdfs=cdfs,
+                          proposal_grid=proposal_grid)
 
     (loss, monitors), grads = jax.value_and_grad(lossfn, has_aux=True)(params)
     params, opt_state, finite = apply_updates(
@@ -103,6 +105,21 @@ class Trainer:
         self.opt_state = self.plan.replicate(self.opt_state)
 
         self.lr_w_base, self.lr_f_base = schedules.scaled_base_lrs(conf)
+        # fixed graph seeds => the MC uniforms are step-invariant; generate
+        # them once here instead of re-running threefry inside every step
+        self._cdfs = None
+        if conf.renderer.fixed_graph_seeds:
+            from ndjir_tpu.render.renderer import make_mc_cdfs
+            self._cdfs = jax.jit(
+                lambda: make_mc_cdfs(conf, conf.train.batch_size,
+                                     conf.train.n_rays))()
+        # coarse-grid proposal opt-in: cached SDF snapshot + jitted refresher
+        self._proposal_grid = None
+        self._proposal_refresh = None
+        if conf.renderer.get("proposal_method", "network") == "coarse_grid":
+            from ndjir_tpu.render.sampler import make_proposal_grid
+            self._proposal_refresh = jax.jit(
+                lambda p: make_proposal_grid(p, conf))
         self.start_epoch = 0
         self._maybe_resume()
         self._make_monitors()
@@ -128,7 +145,7 @@ class Trainer:
                 "prior_base_color", "prior_roughness",
                 "prior_specular_reflectance", "reg_std_roughness",
                 "reg_std_specular_reflectance", "gain"]
-        self.series = {k: MonitorSeries(n, m, verbose=(k == "loss"))
+        self.series = {k: MonitorSeries(n, m, verbose=False)
                        for n, k in zip(names, keys)}
         self.monitor_time = MonitorTimeElapsed("Training time", m)
         Wl = self.ds.W // 2 ** self.conf.valid.n_down_samples
@@ -201,23 +218,40 @@ class Trainer:
                 car = schedules.cos_anneal_ratio(epoch - 1, conf)
                 lvg = schedules.light_visibility_gain(epoch - 1, conf)
 
-            mon: Dict[str, Any] = {}
+            # per-iteration monitors are collected as device futures (no
+            # host sync inside the loop — the async dispatch pipeline stays
+            # full) and fetched once per epoch (reference monitors every
+            # iteration, train.py:150-161)
+            epoch_mons: list = []
             for it in range(iters):
                 color, mask, intrinsic, pose, xy = self.ds.next_batch(B)
                 raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy)
                 camloc, raydir, color, mask = self.plan.shard_batch(
                     camloc, raydir, color, mask)
-                step = jnp.asarray(epoch * iters + it, jnp.int32)
+                gstep = epoch * iters + it
+                if self._proposal_refresh is not None and gstep % int(
+                        conf.renderer.get("proposal_refresh_interval", 16)) == 0:
+                    self._proposal_grid = self._proposal_refresh(self.params)
+                step = jnp.asarray(gstep, jnp.int32)
                 self.params, self.opt_state, mon = train_step(
                     self.params, self.opt_state, camloc, raydir, color, mask,
                     jnp.asarray(car, jnp.float32), jnp.asarray(lvg, jnp.float32),
                     jnp.asarray(lr_w, jnp.float32), jnp.asarray(lr_f, jnp.float32),
-                    step, conf)
+                    step, conf, cdfs=self._cdfs,
+                    proposal_grid=self._proposal_grid)
+                epoch_mons.append(mon)
 
-            for k, s in self.series.items():
-                s.add(epoch, mon[k])
-            if not bool(mon["grads_finite"]):
-                logger.info(f"Non-finite grads at epoch {epoch} (skipped)")
+            epoch_mons = jax.device_get(epoch_mons)
+            for it, m in enumerate(epoch_mons):
+                gstep = epoch * iters + it
+                for k, s in self.series.items():
+                    s.add(gstep, m[k])
+                if not bool(m["grads_finite"]):
+                    logger.info(
+                        f"Non-finite grads at epoch {epoch} iter {it} "
+                        "(update skipped)")
+            mean_loss = float(np.mean([m["loss"] for m in epoch_mons]))
+            logger.info(f"epoch {epoch}: loss={mean_loss:.6g}")
             self.monitor_time.add(epoch)
 
             if (conf.train.checkpoint_interval_epochs > 0
