@@ -132,3 +132,92 @@ def test_reference_style_roughness_head_names(tmp_path):
     probs = validate_against_template(
         {"roughness-network": template["roughness-network"]}, params)
     assert not probs, probs
+
+
+# ---------------------------------------------------------------------------
+# Vendored scope-name fixture (VERDICT round-1 task 9)
+# ---------------------------------------------------------------------------
+# The exact parameter names nn.save_parameters writes for the DEFAULT config,
+# transcribed from the reference source (NOT generated by our own importer,
+# so naming drift fails loudly):
+#   - per-layer scopes "affine-XX/affine/{W,b}" (reference network.py:88-93)
+#   - geometric layers affine-00..06 + "affine-last" (network.py:196-225)
+#   - roughness/specular hidden layers numbered l-1 => "affine--1" first,
+#     with a gap before the last "affine-03" (network.py:451-454, 495-499)
+#   - grid features under "<family>_feature/F" via parametric_function_api
+#     (voxel_feature.py:144-160)
+#   - learnable scalar "geometric-network/gain" (network.py:227-231)
+#   - nested background sub-scopes (network.py:535, 548)
+#   - non-learned schedule params "cos_anneal_ratio" and
+#     "photogrammetric-light-network/gain" must be SKIPPED by the importer
+#     (solver.py:100-119 pushes them; they are plain args here).
+
+def _affines(scope, names):
+    out = []
+    for n in names:
+        out += [f"{scope}/{n}/affine/W", f"{scope}/{n}/affine/b"]
+    return out
+
+
+REFERENCE_DEFAULT_H5_KEYS = (
+    _affines("geometric-network",
+             [f"affine-{l:02d}" for l in range(7)] + ["affine-last"])
+    + ["geometric-network/gain", "geometric-network/voxel_feature/F"]
+    + _affines("base-color-network", [f"affine-{l:02d}" for l in range(4)])
+    + _affines("environment-light-network",
+               [f"affine-{l:02d}" for l in range(4)])
+    + _affines("implicit-illumination-network",
+               [f"affine-{l:02d}" for l in range(4)])
+    + _affines("soft-visibility-light-network",
+               [f"affine-{l:02d}" for l in range(4)])
+    + _affines("photogrammetric-light-network",
+               [f"affine-{l:02d}" for l in range(4)])
+    + _affines("roughness-network", ["affine--1", "affine-00", "affine-01",
+                                     "affine-03"])
+    + _affines("specular-reflectance-network",
+               ["affine--1", "affine-00", "affine-01", "affine-03"])
+    + _affines("background-network/geometric-network",
+               [f"affine-{l:02d}" for l in range(4)])
+    + _affines("background-network/lighting-network",
+               ["affine-00", "affine-01"])
+)
+
+REFERENCE_SKIPPED_KEYS = ["cos_anneal_ratio",
+                          "photogrammetric-light-network/gain"]
+
+
+def test_reference_default_scope_names_map_completely():
+    """Every name the reference writes for the default config must map onto
+    a leaf of our init_model pytree, and vice versa (no silent drift)."""
+    import jax
+
+    from ndjir_tpu.models.fields import init_model
+    from ndjir_tpu.tools.import_reference import (
+        convert_reference_params,
+        validate_against_template,
+    )
+
+    conf = load_config("default", overrides=[
+        "geometric_network.voxel.grid_size=16"])
+    template = init_model(jax.random.PRNGKey(0), conf)
+    n_template_leaves = len(jax.tree_util.tree_leaves(template))
+    assert len(REFERENCE_DEFAULT_H5_KEYS) == n_template_leaves
+
+    # build a flat "h5" whose values don't matter structurally
+    flat = {k: np.zeros((1,), np.float32) for k in REFERENCE_DEFAULT_H5_KEYS}
+    for k in REFERENCE_SKIPPED_KEYS:
+        flat[k] = np.zeros((1,), np.float32)
+    params, unmatched = convert_reference_params(flat, conf)
+    assert unmatched == []
+    assert "cos_anneal_ratio" not in params
+    assert "gain" not in params.get("photogrammetric-light-network", {})
+
+    # every template path exists in the converted tree (ignore shapes here —
+    # the roundtrip test below covers values/shapes)
+    problems = [p for p in validate_against_template(params, template)
+                if p.startswith("missing")]
+    assert problems == [], problems
+
+    # and nothing extra was invented
+    n_conv = len(jax.tree_util.tree_leaves(params))
+    assert n_conv == n_template_leaves

@@ -67,17 +67,55 @@ def test_sampler_shapes_and_monotone(conf, params, batch):
 def test_sampler_concentrates_near_surface(conf, params, batch):
     """Hierarchical upsampling must put more samples near the SDF zero set
     than the stratified init does (NeuS invariant)."""
-    camloc, raydir = batch
-    B, R, _ = raydir.shape
-    cdfs = make_mc_cdfs(conf, B, R)
-    x_fg, t_fg, *_ = sample_points(
-        params, camloc, raydir, cdfs["stratified"], cdfs["background"], conf)
     from ndjir_tpu.models.fields import geometric_apply
-    sdf = np.asarray(geometric_apply(
-        params["geometric-network"], x_fg, conf)[0])
-    # the upsampled tail (last M*U) should lie closer to the surface on
-    # average than the full stratified span for hit rays
-    assert np.isfinite(sdf).all()
+    from ndjir_tpu.render.sampler import (
+        sample_importance,
+        sample_stratified,
+        t_near_far,
+    )
+
+    camloc, _ = batch
+    B, R = camloc.shape[0], 8
+    # rays aimed at the initial SAL sphere (radius 0.35) so every ray has a
+    # zero crossing for the upsampler to find
+    k = jax.random.PRNGKey(11)
+    raydir = -camloc[:, None, :] + 0.12 * jax.random.normal(k, (B, R, 3))
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    cdfs = make_mc_cdfs(conf, B, R)
+    t_near, t_far, hit = t_near_far(camloc, raydir, conf)
+    t0 = sample_stratified(t_near, t_far, cdfs["stratified"],
+                           conf.renderer.n_samples0)
+    t1 = sample_importance(params, conf, camloc, raydir, t_near, t_far, t0)
+
+    def mean_abs_sdf(t):
+        x = camloc.reshape(B, 1, 1, 3) + t * raydir.reshape(B, R, 1, 3)
+        sdf = np.asarray(geometric_apply(
+            params["geometric-network"], x, conf)[0])[..., 0]
+        return np.abs(sdf).mean(axis=-1)  # per-ray
+
+    hit_np = np.asarray(hit)[..., 0] > 0
+    assert hit_np.any()
+    m_strat = mean_abs_sdf(t0)[hit_np]
+    # the NEW samples are the multiset difference final \ stratified: since
+    # both are sorted, recover them by masking out one match per t0 value
+    t1n, t0n = np.asarray(t1)[..., 0], np.asarray(t0)[..., 0]
+    new_t = np.empty((B, R, t1n.shape[-1] - t0n.shape[-1]))
+    for b in range(B):
+        for r in range(R):
+            remaining = list(t0n[b, r])
+            news = []
+            for v in t1n[b, r]:
+                if remaining and np.isclose(v, remaining[0], atol=0):
+                    remaining.pop(0)
+                else:
+                    news.append(v)
+            new_t[b, r] = np.asarray(news)
+    m_new = mean_abs_sdf(jnp.asarray(new_t[..., None],
+                                     jnp.float32))[hit_np]
+    # upsampled placements must be strictly closer to the zero set on
+    # average than the stratified span, on every hit ray batch
+    assert (m_new < m_strat).mean() > 0.8, (m_new.mean(), m_strat.mean())
+    assert m_new.mean() < 0.6 * m_strat.mean()
 
 
 def test_pb_render_outputs(conf, params, batch):
@@ -221,3 +259,30 @@ def test_adjacent_skip_layer_config():
     x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3), minval=-1, maxval=1)
     sdf, feat, gain = geometric_apply(p["geometric-network"], x, conf_s)
     assert sdf.shape == (5, 1) and np.isfinite(np.asarray(sdf)).all()
+
+
+def test_render_image_golden(conf, params):
+    """Fixed-params golden render: catches any unintended numerical drift in
+    the full sample->render->composite chain (VERDICT round-1 task 7).
+
+    Regenerate the fixture (only after verifying the change is intended):
+    see tests/fixtures/golden_render.npy provenance in git history.
+    """
+    from ndjir_tpu.render.image import render_image
+
+    H = W = 24
+    f = 1.2 * W
+    intrinsic = np.array([[[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]],
+                         np.float32)
+    pose = np.eye(4, dtype=np.float32)[None]
+    pose[0, :3, 3] = [0.0, 0.0, 2.5]
+    pose[0, :3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                               np.float32)
+    img = render_image(params, pose, intrinsic, (W, H), conf, lv_gain=1.0)
+    arr = np.clip(np.asarray(img)[0].transpose(1, 2, 0), 0, 1)
+    golden = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "golden_render.npy"))
+    assert arr.shape == golden.shape
+    # perceptual-scale tolerance: mean within 1/255, worst pixel within 8/255
+    assert np.abs(arr - golden).mean() < 1.0 / 255
+    assert np.abs(arr - golden).max() < 8.0 / 255
