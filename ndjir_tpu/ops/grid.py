@@ -251,6 +251,9 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
         # corner order (cx, cy, cz): 000=0, 001=1, 010=2, 100=4
         f000, f001, f010, f100 = f[0], f[1], f[2], f[4]
 
+    # TV differences in f32 even for bf16 tables (forward differences of
+    # near-equal values cancel catastrophically in bf16)
+    f000, f001, f010, f100 = (f.astype(dtype) for f in (f000, f001, f010, f100))
     base = f000 if sym_backward else jax.lax.stop_gradient(f000)
     s = (f100 - base) ** 2 + (f010 - base) ** 2 + (f001 - base) ** 2
     return interp, _tv_sqrt(s)
@@ -491,6 +494,17 @@ def hash_index(x: jax.Array, G: int, T: int,
     return jnp.stack(idx, axis=-1)
 
 
+def _hash_index_leveled(ix: jax.Array, iy: jax.Array, iz: jax.Array,
+                        Ts: jax.Array) -> jax.Array:
+    """tcnn spatial hash, vectorized over a trailing level axis.
+
+    ix/iy/iz (..., L) int32 corner coords; Ts (L,) uint32 table sizes."""
+    h = (ix.astype(jnp.uint32) * np.uint32(_HASH_PRIMES[0]))
+    h = h ^ (iy.astype(jnp.uint32) * np.uint32(_HASH_PRIMES[1]))
+    h = h ^ (iz.astype(jnp.uint32) * np.uint32(_HASH_PRIMES[2]))
+    return (h % Ts).astype(jnp.int32)
+
+
 def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
                      growth_factor: float = 1.5, T0: int = 2 ** 15,
                      L: int = 16, D: int = 2,
@@ -498,8 +512,10 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
                      ) -> jax.Array:
     """Multi-resolution hash query: (..., 3) -> (..., D*L), channel = d*L + l.
 
-    Static python loop over levels (G_l, T_l, offsets are compile-time), each
-    level a trilinear 8-tap hashed gather.  Parity:
+    Vectorized over levels: per-level grid coords / weights / hashes are
+    computed on an (…, L)-shaped tensor in ONE set of ops, so the HLO stays
+    O(8 corners) regardless of L (the earlier unrolled 8*L-branch form took
+    >25 min to compile at L=16 on the target toolchain).  Math parity:
     voxel_hash_feature_cuda.cu:124-194 + the (D*L, B) -> (B, D*L) transpose
     in voxel_hash_feature.py:153-155.
     """
@@ -507,6 +523,24 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
     vmin = jnp.asarray(vmin, dtype)
     vmax = jnp.asarray(vmax, dtype)
     levels = hash_level_offsets(G0, growth_factor, T0, L, D)
+    for (off, _, _) in levels:
+        assert off % D == 0, "level offset not divisible by feature dim"
+
+    # static per-level metadata as (L,) constants
+    g1s = jnp.asarray([[G - 1] for (_, G, _) in levels], dtype)      # (L, 1)
+    Ts = jnp.asarray([T for (_, _, T) in levels], jnp.uint32)        # (L,)
+    row0s = jnp.asarray([off // D for (off, _, _) in levels], jnp.int32)
+
+    # per-level continuous grid coords: (..., L, 3)
+    scales = g1s / (vmax - vmin)                                     # (L, 3)
+    xyz = (x[..., None, :] - vmin) * scales
+    g1b = jnp.broadcast_to(g1s, (L, 3))
+    xyz0 = jnp.clip(jnp.floor(xyz), 0.0, g1b)
+    xyz1 = jnp.minimum(xyz0 + 1.0, g1b)
+    w0 = xyz1 - xyz
+    w1 = 1.0 - w0
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
 
     # All level offsets are 8-aligned (common_voxel_hash.cuh:24-28), so for
     # D in {1,2,4,8} the flat buffer can be viewed as (n_params/D, D) rows
@@ -514,32 +548,22 @@ def query_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
     # scatter in the backward).
     flat = feature.reshape(-1, D)
     idx_list, w_list = [], []
-    for (off, G, T) in levels:
-        assert off % D == 0, "level offset not divisible by feature dim"
-        row0 = off // D
-        g1 = jnp.full((3,), G - 1, dtype)
-        xyz = _to_grid(x, g1, vmin, vmax)
-        xyz0, xyz1 = _corners(xyz, g1)
-        w0, w1 = _weights(xyz, xyz0, xyz1, "linear")
-        i0 = xyz0.astype(jnp.int32)
-        i1 = xyz1.astype(jnp.int32)
-        for cx in range(2):
-            ix = (i0 if cx == 0 else i1)[..., 0]
-            wx = (w0 if cx == 0 else w1)[..., 0]
-            for cy in range(2):
-                iy = (i0 if cy == 0 else i1)[..., 1]
-                wy = (w0 if cy == 0 else w1)[..., 1]
-                for cz in range(2):
-                    iz = (i0 if cz == 0 else i1)[..., 2]
-                    wz = (w0 if cz == 0 else w1)[..., 2]
-                    idx_list.append(row0 + _hash_index(ix, iy, iz, T))
-                    w_list.append(wx * wy * wz)
-    C = len(idx_list)  # 8 * L
-    idx = jnp.stack(idx_list, axis=0)
+    for cx in range(2):
+        ix = (i0 if cx == 0 else i1)[..., 0]
+        wx = (w0 if cx == 0 else w1)[..., 0]
+        for cy in range(2):
+            iy = (i0 if cy == 0 else i1)[..., 1]
+            wy = (w0 if cy == 0 else w1)[..., 1]
+            for cz in range(2):
+                iz = (i0 if cz == 0 else i1)[..., 2]
+                wz = (w0 if cz == 0 else w1)[..., 2]
+                idx_list.append(row0s + _hash_index_leveled(ix, iy, iz, Ts))
+                w_list.append(wx * wy * wz)
+    idx = jnp.stack(idx_list, axis=0)       # (8, ..., L)
     w = jnp.stack(w_list, axis=0)
-    f = gather_rows(flat, idx.reshape(C, -1)).reshape(*idx.shape, D)
-    acc = (w[..., None] * f).reshape(L, 8, *x.shape[:-1], D).sum(axis=1)
-    stacked = jnp.moveaxis(acc, 0, -1)       # (..., D, L)
+    f = gather_rows(flat, idx.reshape(8, -1)).reshape(*idx.shape, D)
+    acc = jnp.sum(w[..., None] * f, axis=0)  # (..., L, D)
+    stacked = jnp.swapaxes(acc, -1, -2)      # (..., D, L)
     return stacked.reshape(*x.shape[:-1], D * L)
 
 
@@ -553,40 +577,45 @@ def query_voxel_hash_lanczos(x: jax.Array, feature: jax.Array, G0: int = 16,
     vmin = jnp.asarray(vmin, dtype)
     vmax = jnp.asarray(vmax, dtype)
     levels = hash_level_offsets(G0, growth_factor, T0, L, D)
+    for (off, _, _) in levels:
+        assert off % D == 0
+
+    g1s = jnp.asarray([[G - 1] for (_, G, _) in levels], dtype)      # (L, 1)
+    Ts = jnp.asarray([T for (_, _, T) in levels], jnp.uint32)
+    row0s = jnp.asarray([off // D for (off, _, _) in levels], jnp.int32)
+
+    scales = g1s / (vmax - vmin)
+    xyz = (x[..., None, :] - vmin) * scales                          # (..., L, 3)
+    xyz0 = jnp.floor(xyz)
+    g1b = jnp.broadcast_to(g1s, (L, 3))
+
+    # per-axis taps on (..., L) tensors — HLO stays O((2a)^3) regardless of L
+    pos, coef = [], []
+    for ax in range(3):
+        ps, cs = [], []
+        for o in range(-a + 1, a + 1):
+            p = jnp.clip(xyz0[..., ax] + o, 0.0, g1b[..., ax])
+            cs.append(lanczos_window(xyz[..., ax] - p, a))
+            ps.append(p.astype(jnp.int32))
+        pos.append(ps)
+        coef.append(cs)
 
     flat = feature.reshape(-1, D)
     n_taps = (2 * a) ** 3
     idx_list, w_list = [], []
-    for (off, G, T) in levels:
-        assert off % D == 0
-        row0 = off // D
-        g1 = jnp.full((3,), G - 1, dtype)
-        xyz = _to_grid(x, g1, vmin, vmax)
-        xyz0 = jnp.floor(xyz)
-
-        pos, coef = [], []
-        for ax in range(3):
-            ps, cs = [], []
-            for o in range(-a + 1, a + 1):
-                p = jnp.clip(xyz0[..., ax] + o, 0.0, g1[ax])
-                cs.append(lanczos_window(xyz[..., ax] - p, a))
-                ps.append(p.astype(jnp.int32))
-            pos.append(ps)
-            coef.append(cs)
-
-        for i in range(2 * a):
-            for j in range(2 * a):
-                wij = coef[0][i] * coef[1][j]
-                for k in range(2 * a):
-                    idx_list.append(
-                        row0 + _hash_index(pos[0][i], pos[1][j], pos[2][k], T))
-                    w_list.append(wij * coef[2][k])
-    C = len(idx_list)  # n_taps * L
-    idx = jnp.stack(idx_list, axis=0)
+    for i in range(2 * a):
+        for j in range(2 * a):
+            wij = coef[0][i] * coef[1][j]
+            for k in range(2 * a):
+                idx_list.append(
+                    row0s + _hash_index_leveled(pos[0][i], pos[1][j],
+                                                pos[2][k], Ts))
+                w_list.append(wij * coef[2][k])
+    idx = jnp.stack(idx_list, axis=0)       # (n_taps, ..., L)
     w = jnp.stack(w_list, axis=0)
-    f = gather_rows(flat, idx.reshape(C, -1)).reshape(*idx.shape, D)
-    acc = (w[..., None] * f).reshape(L, n_taps, *x.shape[:-1], D).sum(axis=1)
-    stacked = jnp.moveaxis(acc, 0, -1)
+    f = gather_rows(flat, idx.reshape(n_taps, -1)).reshape(*idx.shape, D)
+    acc = jnp.sum(w[..., None] * f, axis=0)  # (..., L, D)
+    stacked = jnp.swapaxes(acc, -1, -2)
     return stacked.reshape(*x.shape[:-1], D * L)
 
 

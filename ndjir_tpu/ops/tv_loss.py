@@ -32,10 +32,13 @@ from ndjir_tpu.ops.scatter_pallas import gather_rows
 
 
 def _gather4(flat, idx_list):
-    """Batched corner gathers: one gather_rows call -> list of (..., D)."""
+    """Batched corner gathers: one gather_rows call -> list of (..., D).
+
+    Corner values are promoted to f32 before the forward differences (bf16
+    tables would cancel catastrophically)."""
     idx = jnp.stack(idx_list, axis=0)
     f = gather_rows(flat, idx.reshape(len(idx_list), -1))
-    f = f.reshape(*idx.shape, flat.shape[-1])
+    f = f.reshape(*idx.shape, flat.shape[-1]).astype(jnp.float32)
     return [f[i] for i in range(len(idx_list))]
 
 
@@ -142,35 +145,43 @@ def tv_loss_voxel_hash(x: jax.Array, feature: jax.Array, G0: int = 16,
                        vmin=DEFAULT_MIN, vmax=DEFAULT_MAX,
                        sym_backward: bool = True) -> jax.Array:
     """(..., 3), (n_params,) -> (..., D*L), channel = d*L + l."""
+    import numpy as np
+
+    from ndjir_tpu.ops.grid import _hash_index_leveled
+
     dtype = x.dtype
     vmin = jnp.asarray(vmin, dtype)
     vmax = jnp.asarray(vmax, dtype)
+    levels = hash_level_offsets(G0, growth_factor, T0, L, D)
+    for (off, _, _) in levels:
+        assert off % D == 0
+
+    # vectorized over levels (see ops.grid.query_voxel_hash): the HLO stays
+    # O(4 corners) regardless of L
+    g1s = jnp.asarray([[G - 1] for (_, G, _) in levels], dtype)      # (L, 1)
+    Ts = jnp.asarray([T for (_, _, T) in levels], jnp.uint32)
+    row0s = jnp.asarray([off // D for (off, _, _) in levels], jnp.int32)
+
+    scales = g1s / (vmax - vmin)
+    xyz = (x[..., None, :] - vmin) * scales                          # (..., L, 3)
+    g1b = jnp.broadcast_to(g1s, (L, 3))
+    xyz0 = jnp.clip(jnp.floor(xyz), 0.0, g1b)
+    xyz1 = jnp.minimum(xyz0 + 1.0, g1b)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+    ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
 
     flat = feature.reshape(-1, D)
-    idx_list = []
-    for (off, G, T) in hash_level_offsets(G0, growth_factor, T0, L, D):
-        assert off % D == 0
-        row0 = off // D
-        g1 = jnp.full((3,), G - 1, dtype)
-        xyz = _to_grid(x, g1, vmin, vmax)
-        xyz0, xyz1 = _corners(xyz, g1)
-        i0 = xyz0.astype(jnp.int32)
-        i1 = xyz1.astype(jnp.int32)
-        ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
-        ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
-        idx_list += [row0 + _hash_index(ix0, iy0, iz0, T),
-                     row0 + _hash_index(ix1, iy0, iz0, T),
-                     row0 + _hash_index(ix0, iy1, iz0, T),
-                     row0 + _hash_index(ix0, iy0, iz1, T)]
-    fs = _gather4(flat, idx_list)
-    per_level = []
-    for li in range(L):
-        f000 = _base(fs[4 * li], sym_backward)
-        f100, f010, f001 = fs[4 * li + 1], fs[4 * li + 2], fs[4 * li + 3]
-        s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
-        per_level.append(_tv_sqrt(s))  # (..., D)
-
-    stacked = jnp.stack(per_level, axis=-1)  # (..., D, L)
+    fs = _gather4(flat, [
+        row0s + _hash_index_leveled(ix0, iy0, iz0, Ts),
+        row0s + _hash_index_leveled(ix1, iy0, iz0, Ts),
+        row0s + _hash_index_leveled(ix0, iy1, iz0, Ts),
+        row0s + _hash_index_leveled(ix0, iy0, iz1, Ts)])  # each (..., L, D)
+    f000 = _base(fs[0], sym_backward)
+    f100, f010, f001 = fs[1], fs[2], fs[3]
+    s = (f100 - f000) ** 2 + (f010 - f000) ** 2 + (f001 - f000) ** 2
+    stacked = jnp.swapaxes(_tv_sqrt(s), -1, -2)  # (..., D, L)
     return stacked.reshape(*x.shape[:-1], D * L)
 
 
