@@ -49,19 +49,27 @@ def init_affine(key, Di: int, Do: int, w_init=None, b_init=None,
     return p
 
 
-def affine_apply(p: Params, h: jax.Array, compute_dtype=None) -> jax.Array:
+def affine_apply(p: Params, h: jax.Array, compute_dtype=None,
+                 out_dtype=jnp.float32) -> jax.Array:
     """y = h @ W + b, optionally weight-normalized per output column
-    (reference: python/network.py:88-93; PF.weight_normalization dim=1)."""
+    (reference: python/network.py:88-93; PF.weight_normalization dim=1).
+
+    Accumulation is always f32 (``preferred_element_type``); ``out_dtype``
+    controls the dtype the activation is *stored* in.  Hidden layers in bf16
+    mode pass ``out_dtype=bfloat16`` so the (N_pts, width) activations hit
+    HBM at half the bytes — the next matmul would re-truncate its operands
+    to bf16 anyway, so the f32 round-trip bought no precision, only
+    bandwidth."""
     W = p["W"]
     if "g" in p:
         W = p["g"] * W / jnp.maximum(
             jnp.linalg.norm(W, axis=0, keepdims=True), 1e-12)
-    in_dtype = h.dtype
-    if compute_dtype is not None and compute_dtype != in_dtype:
+    if compute_dtype is not None and compute_dtype != h.dtype:
         h = h.astype(compute_dtype)
+    if compute_dtype is not None and compute_dtype != W.dtype:
         W = W.astype(compute_dtype)
     y = jnp.dot(h, W, preferred_element_type=jnp.float32) + p["b"]
-    return y.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _mlp_init(key, dims, use_wn, dtype=jnp.float32, name_fmt="affine-{:02d}",
@@ -147,7 +155,13 @@ def init_geometric(key, conf, dtype=jnp.float32) -> Params:
     params: Params = {}
     if enc.out_dim > 0:
         kgrid, key = jax.random.split(key)
-        params["grid"] = enc.init(kgrid, dtype=dtype)
+        # precision.grid_dtype=bfloat16 halves the table + its Adam moments
+        # + its gradient (the G=512 reference default then fits 16 GB HBM);
+        # interpolation weights and the weighted sum stay f32, and the
+        # Pallas scatter accumulates grid cotangents in f32 regardless.
+        gd = (conf.precision.grid_dtype if "precision" in conf else "float32")
+        grid_dtype = jnp.bfloat16 if gd == "bfloat16" else dtype
+        params["grid"] = enc.init(kgrid, dtype=grid_dtype)
 
     keys = jax.random.split(key, L + 1)
     if not g.geometric_init:

@@ -113,8 +113,32 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     Args mirror reference renderer.py:32-43; ``cos_anneal_ratio`` and
     ``lv_gain`` are traced scalars (the reference pushes them into graph
     parameters per epoch, solver.py:100-119), ``cdfs`` from make_mc_cdfs.
+
+    ``train.remat_heads`` rematerializes the material/light head networks in
+    the backward pass instead of storing their (B, R, N|M, width) hidden
+    activations — ~GBs at the G=512 reference workload — trading ~1 forward
+    recompute of those heads for the HBM (jax.checkpoint).
     """
     B, R, N, _ = x_fg.shape
+    if conf.train.get("remat_heads", False):
+        rm = jax.checkpoint
+        base_color_f = rm(base_color_apply, static_argnums=(4,))
+        soft_vis_f = rm(soft_visibility_apply, static_argnums=(5,))
+        env_f = rm(environment_light_apply, static_argnums=(2,))
+        photo_f = rm(photogrammetric_apply, static_argnums=(7,))
+        implicit_f = rm(implicit_illumination_apply, static_argnums=(4,))
+        rough_f = rm(roughness_apply, static_argnums=(4,))
+        spec_f = rm(specular_reflectance_apply, static_argnums=(4,))
+        bg_f = rm(background_apply, static_argnums=(4,))
+    else:
+        base_color_f = base_color_apply
+        soft_vis_f = soft_visibility_apply
+        env_f = environment_light_apply
+        photo_f = photogrammetric_apply
+        implicit_f = implicit_illumination_apply
+        rough_f = roughness_apply
+        spec_f = specular_reflectance_apply
+        bg_f = background_apply
     raydir_r = raydir.reshape(B, R, 1, 3)
     view_dir = -raydir_r
     eps_normal = conf.renderer.eps_normal
@@ -171,7 +195,7 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     if conf.background_modeling:
         delta_bg = jax.lax.stop_gradient(
             t_bg[:, :, 1:, :] - t_bg[:, :, :-1, :])
-        alpha_bg, color_bg = background_apply(
+        alpha_bg, color_bg = bg_f(
             params["background-network"], x_bg, view_dir, delta_bg, conf)
     else:
         alpha_bg = jnp.ones((B, R, 1, 1), x_fg.dtype)
@@ -208,12 +232,12 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     # diffuse: uniform hemisphere MC of env * soft-vis * cos (renderer.py:94-119)
     uniform_dirs = sg(sample_uniform_directions(
         normal_pixel, cdfs["diffuse_the"], cdfs["diffuse_phi"]))
-    env_int = environment_light_apply(
+    env_int = env_f(
         params["environment-light-network"], uniform_dirs, conf)
-    soft_vis = soft_visibility_apply(
+    soft_vis = soft_vis_f(
         params["soft-visibility-light-network"], x_pixel, uniform_dirs,
         feature_pixel, normal_pixel_M, conf)
-    implicit_int = implicit_illumination_apply(
+    implicit_int = implicit_f(
         params.get("implicit-illumination-network"), x_fg, feature_x_fg,
         grad_x_fg, conf)
     implicit_pixel = VR(implicit_int)
@@ -221,14 +245,14 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     cos = masked_dot(normal_pixel_M, uniform_dirs)
     diffuse_env = jnp.mean(soft_vis * env_int * cos, axis=2)
     diffuse_light_pixel = diffuse_env + implicit_pixel
-    base_color = base_color_apply(
+    base_color = base_color_f(
         params["base-color-network"], x_fg, feature_x_fg, grad_x_fg, conf)
 
     # materials (renderer.py:122-128)
-    roughness, std_roughness = roughness_apply(
+    roughness, std_roughness = rough_f(
         params["roughness-network"], x_fg, feature_x_fg, grad_x_fg, conf)
     roughness_pixel = VR(roughness)
-    specular_reflectance, std_specular = specular_reflectance_apply(
+    specular_reflectance, std_specular = spec_f(
         params.get("specular-reflectance-network"), x_fg, feature_x_fg,
         grad_x_fg, conf)
     specular_pixel = VR(specular_reflectance)
@@ -244,9 +268,9 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     sBRDF, cos_s = specular_brdf_model(
         normal_pixel, view_dir, spec_dirs, roughness_pixel, specular_pixel,
         conf)
-    env_int_s = environment_light_apply(
+    env_int_s = env_f(
         params["environment-light-network"], spec_dirs, conf)
-    soft_vis_s = soft_visibility_apply(
+    soft_vis_s = soft_vis_f(
         params["soft-visibility-light-network"], x_pixel, spec_dirs,
         feature_pixel, normal_pixel_M, conf)
 
@@ -266,7 +290,7 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
 
     # composition with photogrammetric light (renderer.py:159-176)
     if conf.photogrammetric_light_network.use_me:
-        photo_int = photogrammetric_apply(
+        photo_int = photo_f(
             params["photogrammetric-light-network"], x_fg, camloc, view_dir,
             feature_x_fg, grad_x_fg, lv_gain, conf)
         photo_pixel = VR(photo_int)
@@ -292,7 +316,7 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
 
     # base-color smoothness pair from the (fused) perturbed re-query
     # (renderer.py:187-193)
-    base_color_ptb = base_color_apply(
+    base_color_ptb = base_color_f(
         params["base-color-network"], x_ptb, feature_ptb, None, conf)
 
     return dict(

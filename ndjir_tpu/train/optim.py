@@ -62,10 +62,14 @@ def apply_updates(params, grads, state: OptState, lr_weight, lr_feat,
         [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
 
     updates, new_adam = _ADAM.update(grads, state.adam, params)
-    # static per-leaf LR choice (labels are compile-time)
+    # static per-leaf LR choice (labels are compile-time); the update is
+    # computed in f32 and cast back so bf16 grid tables stay bf16 (plain
+    # p - lr*u would silently promote them to f32)
     new_params = jax.tree_util.tree_map_with_path(
-        lambda path, p, u: p - (lr_feat if is_grid_feature_path(path)
-                                else lr_weight) * u,
+        lambda path, p, u: (p.astype(jnp.float32)
+                            - (lr_feat if is_grid_feature_path(path)
+                               else lr_weight) * u.astype(jnp.float32)
+                            ).astype(p.dtype),
         params, updates)
 
     # skip the whole step (params AND moments) on non-finite grads
