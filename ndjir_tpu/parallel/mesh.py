@@ -59,6 +59,23 @@ class ShardingPlan:
                 put(color_gt, self.batch_sharding(3)),
                 put(obj_mask, self.batch_sharding(3)))
 
+    def shard_batch_steps(self, camloc, raydir, color_gt, obj_mask
+                          ) -> Tuple[Any, ...]:
+        """Pre-staged multi-step batches (K, B, ...): steps axis replicated,
+        B/R sharded as usual (for the lax.scan train_steps path)."""
+        if self.is_trivial:
+            return camloc, raydir, color_gt, obj_mask
+        put = jax.device_put
+
+        def steps(spec_fn, ndim):
+            inner = spec_fn(ndim).spec
+            return NamedSharding(self.mesh, P(None, *inner))
+
+        return (put(camloc, steps(self.data_sharding, 2)),
+                put(raydir, steps(self.batch_sharding, 3)),
+                put(color_gt, steps(self.batch_sharding, 3)),
+                put(obj_mask, steps(self.batch_sharding, 3)))
+
     def replicate(self, tree):
         if self.is_trivial:
             return tree

@@ -58,6 +58,41 @@ def train_step(params, opt_state, camloc, raydir, color_gt, obj_mask,
     return params, opt_state, monitors
 
 
+@partial(jax.jit, static_argnames=("conf",), donate_argnums=(0, 1))
+def train_steps(params, opt_state, camloc, raydir, color_gt, obj_mask,
+                cos_anneal, lv_gain, lr_weight, lr_feat, step0, conf,
+                cdfs=None, proposal_grid=None):
+    """K train steps in ONE jitted program (lax.scan over pre-staged
+    batches with a leading (K, ...) axis).
+
+    The reference re-feeds numpy and re-dispatches per iteration
+    (train.py:124-148); on TPU that host round-trip caps throughput, so the
+    epoch's ray batches are staged on device once and the whole
+    sample->render->backward->update chain scans on-device.  Identical math
+    to ``train_step`` (the scan body IS train_step); monitors come back
+    stacked per step so per-iteration observability is preserved.
+    """
+    def body(carry, batch):
+        p, s, i = carry
+        cl, rd, cg, om = batch
+
+        def lossfn(pp):
+            return total_loss(pp, cl, rd, cg, om, cos_anneal, lv_gain, conf,
+                              step=step0 + i, cdfs=cdfs,
+                              proposal_grid=proposal_grid)
+
+        (loss, monitors), grads = jax.value_and_grad(
+            lossfn, has_aux=True)(p)
+        p, s, finite = apply_updates(p, grads, s, lr_weight, lr_feat, conf)
+        monitors["grads_finite"] = finite
+        return (p, s, i + 1), monitors
+
+    (params, opt_state, _), mons = jax.lax.scan(
+        body, (params, opt_state, jnp.int32(0)),
+        (camloc, raydir, color_gt, obj_mask))
+    return params, opt_state, mons
+
+
 def _is_dtu_data(data_path: str) -> bool:
     """reference: helper.py:137-138 (parent dir starts with 'DTU')."""
     parts = str(data_path).rstrip("/").split("/")
@@ -222,24 +257,50 @@ class Trainer:
             # host sync inside the loop — the async dispatch pipeline stays
             # full) and fetched once per epoch (reference monitors every
             # iteration, train.py:150-161)
+            sched = (jnp.asarray(car, jnp.float32), jnp.asarray(lvg, jnp.float32),
+                     jnp.asarray(lr_w, jnp.float32), jnp.asarray(lr_f, jnp.float32))
+            spc = int(conf.train.get("steps_per_call", 1))
+            if self._proposal_refresh is not None:
+                # refresh cadence bounds how many steps may fuse into one call
+                spc = min(max(spc, 1), int(
+                    conf.renderer.get("proposal_refresh_interval", 16)))
             epoch_mons: list = []
-            for it in range(iters):
-                color, mask, intrinsic, pose, xy = self.ds.next_batch(B)
-                raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy)
-                camloc, raydir, color, mask = self.plan.shard_batch(
-                    camloc, raydir, color, mask)
+            it = 0
+            while it < iters:
                 gstep = epoch * iters + it
                 if self._proposal_refresh is not None and gstep % int(
                         conf.renderer.get("proposal_refresh_interval", 16)) == 0:
                     self._proposal_grid = self._proposal_refresh(self.params)
-                step = jnp.asarray(gstep, jnp.int32)
-                self.params, self.opt_state, mon = train_step(
-                    self.params, self.opt_state, camloc, raydir, color, mask,
-                    jnp.asarray(car, jnp.float32), jnp.asarray(lvg, jnp.float32),
-                    jnp.asarray(lr_w, jnp.float32), jnp.asarray(lr_f, jnp.float32),
-                    step, conf, cdfs=self._cdfs,
-                    proposal_grid=self._proposal_grid)
-                epoch_mons.append(mon)
+                k = min(spc if spc > 0 else iters, iters - it)
+                if k == 1:
+                    color, mask, intrinsic, pose, xy = self.ds.next_batch(B)
+                    raydir, camloc = generate_raydir_camloc(pose, intrinsic, xy)
+                    camloc, raydir, color, mask = self.plan.shard_batch(
+                        camloc, raydir, color, mask)
+                    self.params, self.opt_state, mon = train_step(
+                        self.params, self.opt_state, camloc, raydir, color,
+                        mask, *sched, jnp.asarray(gstep, jnp.int32), conf,
+                        cdfs=self._cdfs, proposal_grid=self._proposal_grid)
+                    epoch_mons.append(mon)
+                else:
+                    # stage k batches on device, scan them in one program
+                    bs = [self.ds.next_batch(B) for _ in range(k)]
+                    rays = [generate_raydir_camloc(b[3], b[2], b[4])
+                            for b in bs]
+                    camloc = np.stack([r[1] for r in rays])
+                    raydir = np.stack([r[0] for r in rays])
+                    color = np.stack([b[0] for b in bs])
+                    mask = np.stack([b[1] for b in bs])
+                    camloc, raydir, color, mask = self.plan.shard_batch_steps(
+                        camloc, raydir, color, mask)
+                    self.params, self.opt_state, mons = train_steps(
+                        self.params, self.opt_state, camloc, raydir, color,
+                        mask, *sched, jnp.asarray(gstep, jnp.int32), conf,
+                        cdfs=self._cdfs, proposal_grid=self._proposal_grid)
+                    epoch_mons.extend(
+                        jax.tree_util.tree_map(lambda a, j=j: a[j], mons)
+                        for j in range(k))
+                it += k
 
             epoch_mons = jax.device_get(epoch_mons)
             for it, m in enumerate(epoch_mons):
