@@ -39,17 +39,26 @@ BASE = [f"geometric_network.voxel.grid_size={GRID}",
 
 VARIANTS = {
     "full": [],
-    "unfused_ptb": ["renderer.fuse_perturbed_query=false"],
+    "fused_ptb": ["renderer.fuse_perturbed_query=true"],
     "no_ptb_prior": ["train.base_color_prior_weight=0.0"],
     "coarse_proposals": ["renderer.proposal_method=coarse_grid"],
     "no_upsample": ["renderer.n_upsamples=0"],
+    # same final N=128 but no proposal rounds: isolates the proposal
+    # machinery exactly (no_upsample alone also halves N downstream)
+    "same_n_no_up": ["renderer.n_samples0=128", "renderer.n_upsamples=0"],
+    "half_n": ["renderer.n_samples0=32", "renderer.n_samples1=8"],
     "no_tv": ["train.tv_weight=0.0"],
     "no_eikonal": ["train.eikonal_weight=0.0"],
+    "no_eik_no_up": ["train.eikonal_weight=0.0", "renderer.n_samples0=128",
+                     "renderer.n_upsamples=0"],
     "spp_2": ["renderer.n_thetas=2"],
     "no_lightp": ["photogrammetric_light_network.use_me=false"],
     "no_bg": ["background_modeling=false"],
     "no_specular": ["specular_brdf.weight=0.0"],
     "f32_mlp": ["precision.mlp_dtype=float32"],
+    "no_implicit": ["implicit_illumination_network.use_me=false"],
+    "no_priors": ["train.roughness_prior_weight=0.0",
+                  "train.specular_reflectance_prior_weight=0.0"],
 }
 
 
