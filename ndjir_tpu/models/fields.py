@@ -72,6 +72,43 @@ def affine_apply(p: Params, h: jax.Array, compute_dtype=None,
     return y.astype(out_dtype)
 
 
+def _normalized_W(p: Params) -> jax.Array:
+    W = p["W"]
+    if "g" in p:
+        W = p["g"] * W / jnp.maximum(
+            jnp.linalg.norm(W, axis=0, keepdims=True), 1e-12)
+    return W
+
+
+def affine_apply_split(p: Params, parts, compute_dtype=None,
+                       out_dtype=jnp.float32) -> jax.Array:
+    """Affine over the conceptual concat of ``parts`` WITHOUT materializing
+    it: each part matmuls its own W row-block and the results add (matmul
+    linearity — numerically the same sum, reassociated).
+
+    TPU rationale: head inputs are concats of per-sample tensors with
+    *broadcast* per-pixel tensors (geometric feature over M light dirs,
+    PE'd view over N samples).  The fused concat forces the broadcast to
+    materialize at (B, R, M|N, 256+) in HBM and matmuls the duplicate rows;
+    split, a (B, R, 1, D) part projects ONCE per pixel and broadcast-adds
+    its (B, R, 1, width) activation — bytes and MXU rows both drop by ~M.
+    """
+    W = _normalized_W(p)
+    off, y = 0, None
+    for t in parts:
+        if t is None:
+            continue
+        Wp = W[off:off + t.shape[-1]]
+        off += t.shape[-1]
+        if compute_dtype is not None:
+            t = t.astype(compute_dtype)
+            Wp = Wp.astype(compute_dtype)
+        d = jnp.dot(t, Wp, preferred_element_type=jnp.float32)
+        y = d if y is None else y + d
+    assert off == W.shape[0], (off, W.shape)
+    return (y + p["b"]).astype(out_dtype)
+
+
 def _mlp_init(key, dims, use_wn, dtype=jnp.float32, name_fmt="affine-{:02d}",
               name_offset=0, last_offset=None):
     """Plain (non-geometric) MLP stack; returns {name: affine params}.
@@ -94,11 +131,15 @@ def _mlp_init(key, dims, use_wn, dtype=jnp.float32, name_fmt="affine-{:02d}",
 
 
 def _mlp_apply(params, h, n_layers, act, compute_dtype=None,
-               name_fmt="affine-{:02d}", name_offset=0, last_offset=None):
+               name_fmt="affine-{:02d}", name_offset=0, last_offset=None,
+               start=0):
+    """``start``: resume from layer `start` (the caller already applied the
+    earlier layers + activations, e.g. via :func:`affine_apply_split`)."""
     last_offset = name_offset if last_offset is None else last_offset
-    for l in range(n_layers - 1):
+    hid_dtype = jnp.float32 if compute_dtype is None else compute_dtype
+    for l in range(start, n_layers - 1):
         h = affine_apply(params[name_fmt.format(l + name_offset)], h,
-                         compute_dtype)
+                         compute_dtype, out_dtype=hid_dtype)
         h = act(h)
     return affine_apply(params[name_fmt.format(n_layers - 1 + last_offset)],
                         h, compute_dtype)
@@ -239,17 +280,19 @@ def geometric_apply(params: Params, x: jax.Array, conf,
         inputs = pe_x
     h = inputs
 
+    hid = jnp.float32 if cdt is None else cdt
     if not g.geometric_init:
         for l in range(L - 1):
-            h = affine_apply(params[f"affine-{l:02d}"], h, cdt)
+            h = affine_apply(params[f"affine-{l:02d}"], h, cdt, out_dtype=hid)
             if l in skip_layers:
-                h = jnp.concatenate([h, pe_x], axis=-1)
+                h = jnp.concatenate([h, pe_x.astype(h.dtype)], axis=-1)
             h = act(h)
         h = affine_apply(params[f"affine-{L - 1:02d}"], h, cdt)
     else:
         for l in range(L):
             name = "affine-last" if l == L - 1 else f"affine-{l:02d}"
-            h = affine_apply(params[name], h, cdt)
+            h = affine_apply(params[name], h, cdt,
+                             out_dtype=jnp.float32 if l == L - 1 else hid)
             if l < L - 1:
                 h = act(h)
                 # the skip concat only follows INTERMEDIATE layers (the
@@ -257,7 +300,7 @@ def geometric_apply(params: Params, x: jax.Array, conf,
                 # network.py:196-224), so adjacent skips stay well-shaped
                 if (l + 1) in skip_layers and l != 0 \
                         and l not in skip_layers:
-                    h = jnp.concatenate([h, inputs], axis=-1)
+                    h = jnp.concatenate([h, inputs.astype(h.dtype)], axis=-1)
                     if g.use_inv_square:
                         h = h / np.sqrt(2)
 
@@ -273,6 +316,8 @@ def geometric_apply(params: Params, x: jax.Array, conf,
 # ---------------------------------------------------------------------------
 
 def _head_inputs(x, feature, normal, use_feature, use_normal, extra=None):
+    """Input PARTS for a head net, in the reference's concat order
+    (x, extra, feature, normal) — consumed split by :func:`_head_apply`."""
     inputs = [x]
     if extra is not None:
         inputs.append(extra)
@@ -280,7 +325,24 @@ def _head_inputs(x, feature, normal, use_feature, use_normal, extra=None):
         inputs.append(feature)
     if use_normal:
         inputs.append(normal)
-    return jnp.concatenate(inputs, axis=-1) if len(inputs) > 1 else x
+    return inputs
+
+
+def _head_apply(params, parts, n_layers, act, compute_dtype=None,
+                name_offset=0, last_offset=None):
+    """Head MLP with a split (concat-free) first affine; parts may carry
+    broadcast-compatible size-1 axes (projected once, broadcast at width)."""
+    last_offset = name_offset if last_offset is None else last_offset
+    if n_layers == 1:
+        return affine_apply_split(params["affine-{:02d}".format(last_offset)],
+                                  parts, compute_dtype)
+    hid = jnp.float32 if compute_dtype is None else compute_dtype
+    h = affine_apply_split(params["affine-{:02d}".format(name_offset)],
+                           parts, compute_dtype, out_dtype=hid)
+    h = act(h)
+    return _mlp_apply(params, h, n_layers, act, compute_dtype,
+                      name_offset=name_offset, last_offset=last_offset,
+                      start=1)
 
 
 def init_base_color(key, conf, dtype=jnp.float32) -> Params:
@@ -294,8 +356,9 @@ def init_base_color(key, conf, dtype=jnp.float32) -> Params:
 def base_color_apply(params, x, feature, normal, conf):
     c = conf.base_color_network
     act = get_activation(c.act)
-    h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf))
+    parts = _head_inputs(x, feature, normal, c.use_geometric_feature,
+                         c.use_normal)
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf))
     return jax.nn.sigmoid(h)
 
 
@@ -331,8 +394,9 @@ def implicit_illumination_apply(params, x, feature, normal, conf):
     if not c.use_me:
         return jnp.zeros((*x.shape[:-1], 1), dtype=x.dtype)
     act = get_activation(c.act)
-    h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf))
+    parts = _head_inputs(x, feature, normal, c.use_geometric_feature,
+                         c.use_normal)
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf))
     return get_last_activation(c.act_last, c.inverse_black_degree)(h)
 
 
@@ -349,9 +413,12 @@ def soft_visibility_apply(params, x, light_dirs, feature, normal, conf):
     c = conf.soft_visibility_light_network
     act = get_activation(c.act)
     pe_l = positional_encoding(light_dirs, c.pe_bands) if c.pe_bands > 0 else light_dirs
-    h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal,
-                     extra=pe_l)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf))
+    # x / feature / normal may be per-pixel (..., 1, D) against per-dir
+    # (..., M, P) light dirs: the split first affine projects them once and
+    # broadcast-adds at hidden width (no (..., M, 256+) concat in HBM)
+    parts = _head_inputs(x, feature, normal, c.use_geometric_feature,
+                         c.use_normal, extra=pe_l)
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf))
     return get_last_activation(c.act_last, c.inverse_black_degree)(h)
 
 
@@ -376,15 +443,15 @@ def photogrammetric_apply(params, x, camloc, view, feature, normal, lv_gain,
     c = conf.photogrammetric_light_network
     act = get_activation(c.act)
     B, R, N, _ = x.shape
-    view = jnp.broadcast_to(view, (B, R, N, 3))
+    # view is constant along the N samples of a ray: PE + first-affine
+    # projection happen at (B, R, 1, .) and broadcast-add over N
     pe_view = positional_encoding(view, c.pe_bands) if c.pe_bands > 0 else view
-    inputs = [x, pe_view, feature, normal]
+    parts = [x, pe_view, feature, normal]
     if c.use_inverse_distance:
         dist2 = jnp.sum((x - camloc.reshape(B, 1, 1, 3)) ** 2, axis=-1,
                         keepdims=True)
-        inputs.append(1.0 / (dist2 + 1e-5))
-    h = jnp.concatenate(inputs, axis=-1)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf))
+        parts.append(1.0 / (dist2 + 1e-5))
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf))
     return jax.nn.sigmoid(lv_gain * h)
 
 
@@ -404,9 +471,10 @@ def init_roughness(key, conf, dtype=jnp.float32) -> Params:
 def roughness_apply(params, x, feature, normal, conf):
     c = conf.roughness_network
     act = get_activation(c.act)
-    h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf),
-                   name_offset=-1, last_offset=0)
+    parts = _head_inputs(x, feature, normal, c.use_geometric_feature,
+                         c.use_normal)
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf),
+                    name_offset=-1, last_offset=0)
     h0, h1 = h[..., 0:1], h[..., 1:2]
     std = softplus(h1)
     r = jax.nn.sigmoid(h0)
@@ -434,9 +502,10 @@ def specular_reflectance_apply(params, x, feature, normal, conf):
         v = jnp.full((*x.shape[:-1], Do), 0.04, dtype=x.dtype)
         return v, jnp.ones_like(v)
     act = get_activation(c.act)
-    h = _head_inputs(x, feature, normal, c.use_geometric_feature, c.use_normal)
-    h = _mlp_apply(params, h, c.layers, act, _compute_dtype(conf),
-                   name_offset=-1, last_offset=0)
+    parts = _head_inputs(x, feature, normal, c.use_geometric_feature,
+                         c.use_normal)
+    h = _head_apply(params, parts, c.layers, act, _compute_dtype(conf),
+                    name_offset=-1, last_offset=0)
     # parity: reference splits as (h[..., :-Do], h[..., Do:]) which for 2*Do
     # outputs is (first Do, last Do) (network.py:499)
     h0, h1 = h[..., :Do], h[..., Do:]

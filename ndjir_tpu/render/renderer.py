@@ -221,11 +221,12 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
     n_phi = 2 * n_the
     M = n_the * n_phi
     D = feature_x_fg.shape[-1]
-    x_pixel = jnp.broadcast_to(VR(x_fg).reshape(B, R, 1, 3), (B, R, M, 3))
-    feature_pixel = jnp.broadcast_to(
-        VR(feature_x_fg).reshape(B, R, 1, D), (B, R, M, D))
-    normal_pixel_M = jnp.broadcast_to(
-        normal_pixel[:, :, None, :], (B, R, M, 3))
+    # per-pixel conditioning stays at (B, R, 1, .): the soft-visibility net's
+    # split first affine projects these once per pixel and broadcast-adds
+    # over the M light dirs (no (B, R, M, 256+) materialization)
+    x_pixel = VR(x_fg).reshape(B, R, 1, 3)
+    feature_pixel = VR(feature_x_fg).reshape(B, R, 1, D)
+    normal_pixel_M = normal_pixel[:, :, None, :]
 
     sg = jax.lax.stop_gradient
 

@@ -71,7 +71,11 @@ cdfs = jax.jit(lambda: make_mc_cdfs(conf, B, R))()
 
 
 def timeit(name, fn, *args):
-    """fn(eps, *args) -> array; eps serializes the chain."""
+    """fn(eps, *args) -> array; eps serializes the chain.
+
+    args (incl. any params trees) are passed as jit ARGUMENTS — closed-over
+    arrays would be embedded in the HLO as constants, and a 268 MB grid
+    table blows the axon remote-compile upload limit (HTTP 413)."""
     f = jax.jit(fn)
     t0 = time.perf_counter()
     out = f(jnp.float32(0.0), *args)
@@ -91,52 +95,66 @@ GEO = params["geometric-network"]
 
 
 def bench_geo_query_fwd():
-    timeit("grid_query_fwd", lambda e, x_: query_voxel(
-        x_ + e, GEO["grid"]["F"]).sum(-1, keepdims=True), x)
+    timeit("grid_query_fwd", lambda e, F, x_: query_voxel(
+        x_ + e, F).sum(-1, keepdims=True), GEO["grid"]["F"], x)
 
 
 def bench_geo_fwd():
-    timeit("geometric_fwd", lambda e, x_: geometric_apply(
-        params["geometric-network"], x_ + e, conf)[0], x)
+    timeit("geometric_fwd", lambda e, p, x_: geometric_apply(
+        p, x_ + e, conf)[0], GEO, x)
 
 
 def bench_geo_grad():
-    timeit("geometric_fwd+spatialgrad", lambda e, x_: sdf_value_and_spatial_grad(
-        params, x_ + e, conf, with_tv=True)[3], x)
+    timeit("geometric_fwd+spatialgrad",
+           lambda e, p, x_: sdf_value_and_spatial_grad(
+               {"geometric-network": p}, x_ + e, conf, with_tv=True)[3],
+           GEO, x)
 
 
 def bench_geo_full_bwd():
-    def f(e, x_):
+    def f(e, p0, x_):
         def loss(p):
             sdf, feat, gain, gx, tv = sdf_value_and_spatial_grad(
                 {"geometric-network": p}, x_ + e, conf, with_tv=True)
             return (jnp.sum(sdf) + jnp.sum(feat) * 1e-3
                     + jnp.sum((jnp.linalg.norm(gx, axis=-1) - 1) ** 2)
                     + jnp.sum(tv))
-        g = jax.grad(loss)(params["geometric-network"])
+        g = jax.grad(loss)(p0)
         return g["affine-00"]["W"]
-    timeit("geometric_full_bwd(eik+tv)", f, x)
+    timeit("geometric_full_bwd(eik+tv)", f, GEO, x)
 
 
 def bench_soft_vis():
-    def f(e, x_):
+    def f(e, p0, x_, d_, ft_):
         def loss(p):
-            return jnp.sum(soft_visibility_apply(p, x_ + e, dirs, feat_pix,
-                                                 dirs, conf))
-        return jax.grad(loss)(params["soft-visibility-light-network"]
-                              )["affine-00"]["W"]
-    timeit("soft_vis_fwd+bwd(M dirs)", f, x_pix)
+            return jnp.sum(soft_visibility_apply(p, x_ + e, d_, ft_, d_,
+                                                 conf))
+        return jax.grad(loss)(p0)["affine-00"]["W"]
+    timeit("soft_vis_fwd+bwd(M dirs)", f,
+           params["soft-visibility-light-network"], x_pix, dirs, feat_pix)
+
+
+def bench_soft_vis_split():
+    """Per-pixel parts at axis-2 size 1 (the split-first-affine fast path)."""
+    def f(e, p0, x_, d_, ft_, nm_):
+        def loss(p):
+            return jnp.sum(soft_visibility_apply(p, x_ + e, d_, ft_, nm_,
+                                                 conf))
+        return jax.grad(loss)(p0)["affine-00"]["W"]
+    timeit("soft_vis_split_fwd+bwd", f,
+           params["soft-visibility-light-network"], x[:, :, :1, :], dirs,
+           feature[:, :, :1, :], normal[:, :, :1, :])
 
 
 def bench_photo():
-    def f(e, x_):
+    def f(e, p0, x_, ft_, nm_):
         def loss(p):
             return jnp.sum(photogrammetric_apply(
-                p, x_ + e, camloc, -raydir.reshape(B, R, 1, 3), feature,
-                normal, jnp.float32(1.0), conf))
-        return jax.grad(loss)(params["photogrammetric-light-network"]
-                              )["affine-00"]["W"]
-    timeit("photogrammetric_fwd+bwd", f, x)
+                p, x_ + e, camloc, -raydir.reshape(B, R, 1, 3), ft_,
+                nm_, jnp.float32(1.0), conf))
+        return jax.grad(loss)(p0)["affine-00"]["W"]
+    timeit("photogrammetric_fwd+bwd", f,
+           params["photogrammetric-light-network"], x, feature, normal)
 
 
 def bench_scatter():
@@ -151,20 +169,20 @@ def bench_sort():
 
 
 def bench_sampler():
-    timeit("sample_points_full", lambda e, c: sample_points(
-        params, c + e, raydir, cdfs["stratified"], cdfs["background"], conf,
-        rand_u=cdfs["upsample"])[0][..., :1], camloc)
+    timeit("sample_points_full", lambda e, p, c: sample_points(
+        p, c + e, raydir, cdfs["stratified"], cdfs["background"], conf,
+        rand_u=cdfs["upsample"])[0][..., :1], params, camloc)
 
 
 def bench_render_fwd():
-    def f(e, c):
+    def f(e, p, c):
         xf, tf, xb, tb, mk = sample_points(
-            params, c + e, raydir, cdfs["stratified"], cdfs["background"],
+            p, c + e, raydir, cdfs["stratified"], cdfs["background"],
             conf, rand_u=cdfs["upsample"])
-        res = pb_render(params, xf, tf, xb, tb, c + e, raydir, mk,
+        res = pb_render(p, xf, tf, xb, tb, c + e, raydir, mk,
                         0.5, 1.0, cdfs, conf)
         return res["color_pixel"]
-    timeit("sample+render_fwd", f, camloc)
+    timeit("sample+render_fwd", f, params, camloc)
 
 
 BENCHES = {
@@ -173,6 +191,7 @@ BENCHES = {
     "geo_grad": bench_geo_grad,
     "geo_full_bwd": bench_geo_full_bwd,
     "soft_vis": bench_soft_vis,
+    "soft_vis_split": bench_soft_vis_split,
     "photo": bench_photo,
     "scatter": bench_scatter,
     "sort": bench_sort,
