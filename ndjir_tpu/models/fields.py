@@ -273,11 +273,28 @@ def geometric_apply(params: Params, x: jax.Array, conf,
             vfeat, tv_map = enc.apply_with_tv(params["grid"], x, tv_sym)
         else:
             vfeat = enc.apply(params["grid"], x)
-        inputs = jnp.concatenate([pe_x, vfeat], axis=-1)
     else:
         if with_tv:
             tv_map = jnp.zeros((*x.shape[:-1], 1), dtype=x.dtype)
-        inputs = pe_x
+        vfeat = None
+
+    sdf, feature, gain = _geometric_mlp(params, pe_x, vfeat, conf)
+    if with_tv:
+        return sdf, feature, gain, tv_map
+    return sdf, feature, gain
+
+
+def _geometric_mlp(params: Params, pe_x: jax.Array, vfeat, conf):
+    """The geometric network's MLP stack given already-computed PE'd inputs
+    and grid features (``vfeat`` may be None for grid-free configs)."""
+    g = conf.geometric_network
+    L = g.layers
+    act = get_activation(g.act)
+    skip_layers = tuple(g.skip_layers)
+    cdt = _compute_dtype(conf)
+
+    inputs = pe_x if vfeat is None \
+        else jnp.concatenate([pe_x, vfeat], axis=-1)
     h = inputs
 
     hid = jnp.float32 if cdt is None else cdt
@@ -306,8 +323,50 @@ def geometric_apply(params: Params, x: jax.Array, conf,
 
     sdf, feature = h[..., 0:1], h[..., 1:]
     gain = jnp.clip(jnp.exp(params["gain"] * 10.0), 1e-6, 5e4)
+    return sdf, feature, gain
+
+
+def geometric_supports_shared_gather(params: Params, conf) -> bool:
+    """Whether the dense-voxel shared-gather fast path applies (see
+    :func:`geometric_apply_corners`)."""
+    from ndjir_tpu.ops.grid import use_zdup_layout
+
+    g = conf.geometric_network
+    return ("grid" in params and g.voxel.type in ("voxel", "cosine_voxel")
+            and not g.voxel.use_ste
+            and use_zdup_layout(params["grid"]["F"].shape))
+
+
+def geometric_gather_corners(params: Params, x_list, conf):
+    """ONE fused corner gather for several point sets (shared backward
+    scatter); pair with :func:`geometric_apply_corners`."""
+    from ndjir_tpu.ops.grid import voxel_gather_multi
+
+    r = conf.renderer.bounding_sphere_radius
+    return voxel_gather_multi(x_list, params["grid"]["F"],
+                              (-r,) * 3, (r,) * 3)
+
+
+def geometric_apply_corners(params: Params, x: jax.Array, corners: jax.Array,
+                            conf, with_tv: bool = False, tv_sym: bool = True):
+    """:func:`geometric_apply` with the grid corner rows supplied by the
+    caller (from :func:`geometric_gather_corners`).  Interpolation weights
+    are recomputed from ``x`` (differentiable — spatial-gradient vjps over
+    this function see only weight arithmetic, never the table), while the
+    corner tensor routes table cotangents through the caller's shared
+    gather.  Numerically identical to :func:`geometric_apply` (same helpers,
+    same op order)."""
+    from ndjir_tpu.ops.grid import voxel_interp_corners, voxel_tv_corners
+
+    g = conf.geometric_network
+    r = conf.renderer.bounding_sphere_radius
+    kind = "cosine" if g.voxel.type.startswith("cosine_") else "linear"
+    pe_x = positional_encoding(x, g.pe_bands) if g.pe_bands > 0 else x
+    vfeat = voxel_interp_corners(x, corners, params["grid"]["F"].shape,
+                                 (-r,) * 3, (r,) * 3, kind)
+    sdf, feature, gain = _geometric_mlp(params, pe_x, vfeat, conf)
     if with_tv:
-        return sdf, feature, gain, tv_map
+        return sdf, feature, gain, voxel_tv_corners(corners, x.dtype, tv_sym)
     return sdf, feature, gain
 
 

@@ -111,6 +111,110 @@ def init_voxel(key: jax.Array, G: int, D: int, eps: float = 1e-3,
 _ZDUP_MAX_BYTES = int(os.environ.get("NDJIR_ZDUP_MAX_BYTES", 1_500_000_000))
 
 
+def use_zdup_layout(gshape) -> bool:
+    """Whether the z-paired duplicated table layout is used for this grid.
+
+    Budget uses f32 size regardless of actual dtype so a bf16 view of the
+    same table takes the same layout path as the f32 original."""
+    Gx, Gy, Gz, D = gshape
+    return Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
+
+
+def _voxel_zdup_flat(feature: jax.Array) -> jax.Array:
+    """(G,G,G,D) -> (G^3, 2D) z-paired table: row z holds (z, z+1) features.
+    XLA CSE dedupes this build across every query site in a step."""
+    return jnp.concatenate(
+        [feature,
+         jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
+        axis=-1).reshape(-1, 2 * feature.shape[-1])
+
+
+def voxel_zdup_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
+                   vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
+    """(4, *x.shape[:-1]) int32 row ids into the z-paired table, in
+    (x0y0, x0y1, x1y0, x1y1) order.  Integer (non-differentiable) by
+    construction — safe to compute outside any vjp."""
+    Gx, Gy, Gz, _ = gshape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    i0 = xyz0.astype(jnp.int32)
+    i1 = xyz1.astype(jnp.int32)
+    sy, sx = Gz, Gy * Gz
+    iz = i0[..., 2]
+    ids = []
+    for cx in range(2):
+        ix = (i0 if cx == 0 else i1)[..., 0]
+        for cy in range(2):
+            iy = (i0 if cy == 0 else i1)[..., 1]
+            ids.append(ix * sx + iy * sy + iz)
+    return jnp.stack(ids, axis=0)
+
+
+def voxel_gather_multi(x_list, feature: jax.Array,
+                       vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX):
+    """Gather z-paired corner rows for SEVERAL point sets with ONE
+    ``gather_rows`` call, so the training backward issues ONE fused scatter
+    for all sets (2x1M-row scatters cost ~2x19.7 ms; one 2.1M-row scatter
+    ~29 ms).  Returns a list of (4, *shape_i, 2D) corner tensors, consumed
+    by :func:`voxel_interp_corners` / :func:`voxel_tv_corners`.
+
+    Caller must have checked :func:`use_zdup_layout`."""
+    D2 = 2 * feature.shape[-1]
+    flat2 = _voxel_zdup_flat(feature)
+    ids = [voxel_zdup_ids(x, feature.shape, vmin, vmax) for x in x_list]
+    flat_ids = [i.reshape(4, -1) for i in ids]
+    ns = [fi.shape[1] for fi in flat_ids]
+    f = gather_rows(flat2, jnp.concatenate(flat_ids, axis=1))
+    out, off = [], 0
+    for i, n in zip(ids, ns):
+        out.append(f[:, off:off + n].reshape(*i.shape, D2))
+        off += n
+    return out
+
+
+def voxel_interp_corners(x: jax.Array, f: jax.Array, gshape,
+                         vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
+                         weight: str = "linear") -> jax.Array:
+    """Trilinear/cosine combine of pre-gathered z-paired corners
+    f (4, ..., 2D).  Differentiable w.r.t. ``x`` through the interpolation
+    weights; ``f`` is constant w.r.t. ``x`` (ids are piecewise constant), so
+    spatial-gradient vjps over this function never touch the table."""
+    Gx, Gy, Gz, D = gshape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    w0, w1 = _weights(xyz, xyz0, xyz1, weight)
+    wz0 = w0[..., 2:3]
+    wz1 = w1[..., 2:3]
+    w = jnp.stack([w0[..., 0] * w0[..., 1], w0[..., 0] * w1[..., 1],
+                   w1[..., 0] * w0[..., 1], w1[..., 0] * w1[..., 1]], axis=0)
+    pair = wz0 * f[..., :D] + wz1 * f[..., D:]
+    return jnp.sum(w[..., None] * pair, axis=0)
+
+
+def voxel_tv_corners(f: jax.Array, dtype, sym_backward: bool = True
+                     ) -> jax.Array:
+    """Cell TV map from pre-gathered z-paired corners f (4, ..., 2D) — the
+    same four corners the interpolation reads (000, 001, 010, 100).
+    Identical semantics to ops.tv_loss.tv_loss_voxel."""
+    from ndjir_tpu.ops.tv_loss import _tv_sqrt
+
+    D = f.shape[-1] // 2
+    # rows are (x0y0, x0y1, x1y0, x1y1) with z pair packed along features
+    f000, f001, f010, f100 = f[0, ..., :D], f[0, ..., D:], f[1, ..., :D], \
+        f[2, ..., :D]
+    # TV differences in f32 even for bf16 tables (forward differences of
+    # near-equal values cancel catastrophically in bf16)
+    f000, f001, f010, f100 = (a.astype(dtype)
+                              for a in (f000, f001, f010, f100))
+    base = f000 if sym_backward else jax.lax.stop_gradient(f000)
+    s = (f100 - base) ** 2 + (f010 - base) ** 2 + (f001 - base) ** 2
+    return _tv_sqrt(s)
+
+
 def query_voxel(x: jax.Array, feature: jax.Array,
                 vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
                 weight: str = "linear") -> jax.Array:
@@ -124,42 +228,18 @@ def query_voxel(x: jax.Array, feature: jax.Array,
     """
     Gx, Gy, Gz, D = feature.shape
     dtype = x.dtype
+
+    if use_zdup_layout(feature.shape):
+        (f,) = voxel_gather_multi([x], feature, vmin, vmax)
+        return voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
+
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
     xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
     xyz0, xyz1 = _corners(xyz, g1)
     w0, w1 = _weights(xyz, xyz0, xyz1, weight)
-
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
     sy, sx = Gz, Gy * Gz
-
-    # budget uses f32 size regardless of actual dtype so a bf16 view of the
-    # same table takes the same layout path as the f32 original
-    use_zdup = Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
-    if use_zdup:
-        fz = jnp.concatenate(
-            [feature,
-             jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
-            axis=-1)                     # (G,G,G,2D): row z holds (z, z+1)
-        flat2 = fz.reshape(-1, 2 * D)
-        wz0 = w0[..., 2:3]
-        wz1 = w1[..., 2:3]
-        iz = i0[..., 2]
-        idx_list, w_list = [], []
-        for cx in range(2):
-            ix = (i0 if cx == 0 else i1)[..., 0]
-            wx = (w0 if cx == 0 else w1)[..., 0]
-            for cy in range(2):
-                iy = (i0 if cy == 0 else i1)[..., 1]
-                wy = (w0 if cy == 0 else w1)[..., 1]
-                idx_list.append(ix * sx + iy * sy + iz)
-                w_list.append(wx * wy)
-        C = len(idx_list)
-        idx = jnp.stack(idx_list, axis=0)
-        w = jnp.stack(w_list, axis=0)
-        f = gather_rows(flat2, idx.reshape(C, -1)).reshape(*idx.shape, 2 * D)
-        pair = wz0 * f[..., :D] + wz1 * f[..., D:]
-        return jnp.sum(w[..., None] * pair, axis=0)
 
     flat = feature.reshape(-1, D)
     idx_list, w_list = [], []
@@ -193,6 +273,12 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
 
     Gx, Gy, Gz, D = feature.shape
     dtype = x.dtype
+
+    if use_zdup_layout(feature.shape):
+        (f,) = voxel_gather_multi([x], feature, vmin, vmax)
+        interp = voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
+        return interp, voxel_tv_corners(f, dtype, sym_backward)
+
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
     xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
     xyz0, xyz1 = _corners(xyz, g1)
@@ -201,55 +287,25 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
     i1 = xyz1.astype(jnp.int32)
     sy, sx = Gz, Gy * Gz
 
-    use_zdup = Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
-    if use_zdup:
-        fz = jnp.concatenate(
-            [feature,
-             jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
-            axis=-1)
-        flat2 = fz.reshape(-1, 2 * D)
-        iz = i0[..., 2]
-        idx_list, w_list = [], []
-        for cx in range(2):
-            ix = (i0 if cx == 0 else i1)[..., 0]
-            wx = (w0 if cx == 0 else w1)[..., 0]
-            for cy in range(2):
-                iy = (i0 if cy == 0 else i1)[..., 1]
-                wy = (w0 if cy == 0 else w1)[..., 1]
+    flat = feature.reshape(-1, D)
+    idx_list, w_list = [], []
+    for cx in range(2):
+        ix = (i0 if cx == 0 else i1)[..., 0]
+        wx = (w0 if cx == 0 else w1)[..., 0]
+        for cy in range(2):
+            iy = (i0 if cy == 0 else i1)[..., 1]
+            wy = (w0 if cy == 0 else w1)[..., 1]
+            for cz in range(2):
+                iz = (i0 if cz == 0 else i1)[..., 2]
+                wz = (w0 if cz == 0 else w1)[..., 2]
                 idx_list.append(ix * sx + iy * sy + iz)
-                w_list.append(wx * wy)
-        idx = jnp.stack(idx_list, axis=0)
-        w = jnp.stack(w_list, axis=0)
-        f = gather_rows(flat2, idx.reshape(4, -1)).reshape(*idx.shape, 2 * D)
-        wz0 = w0[..., 2:3]
-        wz1 = w1[..., 2:3]
-        pair = wz0 * f[..., :D] + wz1 * f[..., D:]
-        interp = jnp.sum(w[..., None] * pair, axis=0)
-        # corners for TV: rows are ordered (x0y0, x0y1, x1y0, x1y1)
-        f000 = f[0, ..., :D]
-        f001 = f[0, ..., D:]
-        f010 = f[1, ..., :D]
-        f100 = f[2, ..., :D]
-    else:
-        flat = feature.reshape(-1, D)
-        idx_list, w_list = [], []
-        for cx in range(2):
-            ix = (i0 if cx == 0 else i1)[..., 0]
-            wx = (w0 if cx == 0 else w1)[..., 0]
-            for cy in range(2):
-                iy = (i0 if cy == 0 else i1)[..., 1]
-                wy = (w0 if cy == 0 else w1)[..., 1]
-                for cz in range(2):
-                    iz = (i0 if cz == 0 else i1)[..., 2]
-                    wz = (w0 if cz == 0 else w1)[..., 2]
-                    idx_list.append(ix * sx + iy * sy + iz)
-                    w_list.append(wx * wy * wz)
-        idx = jnp.stack(idx_list, axis=0)
-        w = jnp.stack(w_list, axis=0)
-        f = gather_rows(flat, idx.reshape(8, -1)).reshape(*idx.shape, D)
-        interp = jnp.sum(w[..., None] * f, axis=0)
-        # corner order (cx, cy, cz): 000=0, 001=1, 010=2, 100=4
-        f000, f001, f010, f100 = f[0], f[1], f[2], f[4]
+                w_list.append(wx * wy * wz)
+    idx = jnp.stack(idx_list, axis=0)
+    w = jnp.stack(w_list, axis=0)
+    f = gather_rows(flat, idx.reshape(8, -1)).reshape(*idx.shape, D)
+    interp = jnp.sum(w[..., None] * f, axis=0)
+    # corner order (cx, cy, cz): 000=0, 001=1, 010=2, 100=4
+    f000, f001, f010, f100 = f[0], f[1], f[2], f[4]
 
     # TV differences in f32 even for bf16 tables (forward differences of
     # near-equal values cancel catastrophically in bf16)

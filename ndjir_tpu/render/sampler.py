@@ -25,8 +25,15 @@ from ndjir_tpu.ops.intersect import ray_aabb_intersection, ray_sphere_intersecti
 
 
 def _exclusive_cumprod(x: jax.Array, axis: int) -> jax.Array:
-    """cumprod with exclusive=True semantics (first element = 1)."""
-    cp = jnp.cumprod(x, axis=axis)
+    """cumprod with exclusive=True semantics (first element = 1).
+
+    The input is materialized behind an optimization barrier: XLA otherwise
+    fuses the producer chain (the whole NeuS alpha computation) into every
+    shifted-multiply pass of the cumulative-product decomposition,
+    recomputing it ~log2(N) times — measured 38.7 -> 3.2 ms for one
+    proposal-round weight chain at the default workload.  The barrier is the
+    identity (twice-differentiable), so numerics are unchanged."""
+    cp = jnp.cumprod(jax.lax.optimization_barrier(x), axis=axis)
     one = jnp.ones_like(jax.lax.slice_in_dim(cp, 0, 1, axis=axis))
     return jnp.concatenate(
         [one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)],
@@ -135,19 +142,34 @@ def _propose_t(conf, t, sdf, t_near, t_far, gain, u):
                 "renderer.deterministic=false needs per-round uniforms; "
                 "pass cdfs['upsample'] as rand_u (see make_mc_cdfs)")
         uu = u  # caller-provided uniforms (B, R, M)
-    idx = jax.vmap(jax.vmap(jnp.searchsorted))(cumsum, uu)  # (B, R, M)
+    # searchsorted(side='left') == #{cumsum[i] < u}, computed as one
+    # broadcasted comparison-count: vmap(vmap(searchsorted))'s batched
+    # binary-search while_loop serializes on TPU (measured 72 ms/round at
+    # the default workload vs <1 ms for the count — O(Nt*M) compares are
+    # nothing on the VPU at these shapes)
+    idx = jnp.sum((cumsum[:, :, :, None] < uu[:, :, None, :])
+                  .astype(jnp.int32), axis=2)            # (B, R, M)
     idx = jnp.minimum(idx, Nt - 2)
-    cumsum0 = jnp.concatenate([jnp.zeros((B, R, 1), t.dtype), cumsum], axis=2)
-    denorm = jnp.take_along_axis(weights, idx, axis=2)
-    lower = jnp.take_along_axis(cumsum0, idx, axis=2)
+    # all four per-section lookups ride ONE one-hot mask contraction
+    # (take_along_axis costs ~1.3 ms each at these shapes; the fused masked
+    # sums are one cheap (B,R,Nt,M) elementwise+reduce pass).  cumsum0[idx]
+    # == shifted-cumsum lookup with idx==0 -> 0.
+    sec = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Nt - 1, 1), 2)
+    onehot = (idx[:, :, None, :] == sec).astype(t.dtype)  # (B, R, Nt-1, M)
+
+    def take(v):  # v: (B, R, Nt-1)
+        return jnp.sum(v[:, :, :, None] * onehot, axis=2)  # (B, R, M)
+
+    denorm = take(weights)
+    lower = take(jnp.concatenate(
+        [jnp.zeros((B, R, 1), t.dtype), cumsum[:, :, :-1]], axis=2))
     ratio = ((uu - lower) / denorm).reshape(B, R, M, 1)
 
     # (Nt-1 section widths; the reference appends a [t_last, t_far] tail row,
     # sampler.py:231-232, but its own u<1 guard keeps idx <= Nt-2, so the
     # tail is unreachable — here idx is clipped explicitly instead)
-    steps = t[:, :, 1:, :] - t[:, :, :-1, :]
-    steps_idx = jnp.take_along_axis(steps, idx[..., None], axis=2)
-    ts_idx = jnp.take_along_axis(t, idx[..., None], axis=2)
+    steps_idx = take(t[:, :, 1:, 0] - t[:, :, :-1, 0]).reshape(B, R, M, 1)
+    ts_idx = take(t[:, :, :-1, 0]).reshape(B, R, M, 1)
 
     t_new = ts_idx + steps_idx * ratio
     return jnp.clip(t_new, t_near.reshape(B, R, 1, 1),
