@@ -44,8 +44,11 @@ def build_conf(mesh=(1, 1)):
         f"precision.mlp_dtype={mlp_dtype}",
         f"parallel.mesh_shape=[{mesh[0]},{mesh[1]}]",
     ]
-    grid_dtype = os.environ.get("NDJIR_BENCH_GRID_DTYPE", "")
-    if grid_dtype:
+    # bf16 grid tables are the production TPU precision (f32 master weights
+    # and f32 scatter accumulation; halves the gather bytes and the table's
+    # HBM footprint).  NDJIR_BENCH_GRID_DTYPE=float32 for strict parity.
+    grid_dtype = os.environ.get("NDJIR_BENCH_GRID_DTYPE", "bfloat16")
+    if grid_dtype and grid_dtype != "float32":
         overrides.append(f"precision.grid_dtype={grid_dtype}")
     if os.environ.get("NDJIR_BENCH_REMAT", ""):
         overrides.append("train.remat_heads=true")
