@@ -296,3 +296,49 @@ def test_fused_query_and_tv_matches_separate(rng):
         gf = jax.grad(fused)(feat)
         gs = jax.grad(separate)(feat)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=1e-4)
+
+
+def test_nonzdup_path_matches_zdup(rng, monkeypatch):
+    """The 8-corner (non-zdup) gather path — production at G=512, where the
+    doubled table exceeds the budget — must match the z-paired path in
+    values, TV, and table gradients."""
+    feat = jnp.asarray(rng.randn(9, 9, 9, 3).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1.1, 1.1, (20, 3)).astype(np.float32))
+
+    q_z, tv_z = G.query_voxel_and_tv(x, feat)
+    gz = jax.grad(lambda f: (G.query_voxel_and_tv(x, f)[0] ** 2).sum()
+                  + G.query_voxel_and_tv(x, f)[1].sum())(feat)
+
+    monkeypatch.setattr(G, "_ZDUP_MAX_BYTES", 0)
+    assert not G.use_zdup_layout(feat.shape)
+    q_8, tv_8 = G.query_voxel_and_tv(x, feat)
+    g8 = jax.grad(lambda f: (G.query_voxel_and_tv(x, f)[0] ** 2).sum()
+                  + G.query_voxel_and_tv(x, f)[1].sum())(feat)
+
+    np.testing.assert_allclose(np.asarray(q_8), np.asarray(q_z), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tv_8), np.asarray(tv_z), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(gz), atol=1e-4)
+    for kind in ["linear", "cosine"]:
+        q8k = G.query_voxel(x, feat, weight=kind)
+        monkeypatch.setattr(G, "_ZDUP_MAX_BYTES", 10 ** 12)
+        np.testing.assert_allclose(
+            np.asarray(q8k),
+            np.asarray(G.query_voxel(x, feat, weight=kind)), atol=1e-5)
+        monkeypatch.setattr(G, "_ZDUP_MAX_BYTES", 0)
+
+
+def test_gather_multi_matches_single(rng):
+    """voxel_gather_multi over several point sets == per-set gathers, and
+    interp-from-corners == query_voxel (the shared-gather fast path)."""
+    feat = jnp.asarray(rng.randn(7, 7, 7, 4).astype(np.float32))
+    xa = jnp.asarray(rng.uniform(-1.1, 1.1, (5, 11, 3)).astype(np.float32))
+    xb = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 9, 3)).astype(np.float32))
+    fa, fb = G.voxel_gather_multi([xa, xb], feat)
+    (fa1,) = G.voxel_gather_multi([xa], feat)
+    (fb1,) = G.voxel_gather_multi([xb], feat)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fa1))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb1))
+    for x_, f_ in [(xa, fa), (xb, fb)]:
+        np.testing.assert_allclose(
+            np.asarray(G.voxel_interp_corners(x_, f_, feat.shape)),
+            np.asarray(G.query_voxel(x_, feat)), atol=1e-6)
