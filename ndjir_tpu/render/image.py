@@ -21,6 +21,15 @@ from ndjir_tpu.render.sampler import sample_points
 
 @partial(jax.jit, static_argnames=("conf",))
 def _render_chunk(params, camloc, raydir, lv_gain, conf):
+    # rendering never consumes base_color_ptb, so the perturbed-prior query
+    # is dead code XLA can DCE — but only if it is NOT fused into the main
+    # corner gather (a single gather op can't be split by DCE); force the
+    # unfused path here
+    from ndjir_tpu.config import Config
+
+    data = conf.to_dict()
+    data["renderer"]["fuse_perturbed_query"] = False
+    conf = Config(data)
     B, R, _ = raydir.shape
     cdfs = make_mc_cdfs(conf, B, R, dtype=raydir.dtype)
     x_fg, t_fg, x_bg, t_bg, mask = sample_points(
