@@ -2,11 +2,19 @@
 
 The reference runs two nnabla Adam solvers partitioned by parameter-name
 suffix ``feature/F`` (reference: python/solver.py:29-46); here the partition
-is a pytree of labels over param paths (grid-feature leaves vs everything
-else) and both groups share one ``optax.scale_by_adam`` state, with per-leaf
-learning rates applied at update time as traced scalars.
+is a static per-leaf choice over param paths (grid-feature leaves vs
+everything else) applied at update time as traced scalar learning rates.
 
 Semantics parity notes:
+  - the update rule is nnabla Adam's exact form (nnabla solvers.Adam):
+        m = b1 m + (1-b1) g;  v = b2 v + (1-b2) g^2
+        w -= lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v) + eps)
+    (eps sits outside the *uncorrected* sqrt(v), unlike optax's
+    m_hat/(sqrt(v_hat)+eps) — the two differ by a time-varying eps scale).
+  - moments are ALWAYS float32, independent of the parameter dtype: with
+    ``precision.grid_dtype=bfloat16`` the (1-b2)=1e-3 second-moment
+    increments would vanish below bf16's ~2^-8 relative resolution once v
+    is established (master-f32-moments, bf16-table scheme).
   - weight decay is classic L2-added-to-gradient (nnabla
     ``solver.weight_decay``: g += wd * w before Adam), NOT decoupled AdamW.
   - NaN/Inf gradients skip the whole update including Adam moments
@@ -23,20 +31,29 @@ from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ndjir_tpu.models.fields import is_grid_feature_path
 
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8
+
+
+class AdamState(NamedTuple):
+    count: jax.Array   # int32 step counter t
+    mu: Any            # first moments, f32 tree
+    nu: Any            # second moments, f32 tree
+
 
 class OptState(NamedTuple):
-    adam: Any
-
-
-_ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    adam: AdamState
 
 
 def init_optimizer(params) -> OptState:
-    return OptState(adam=_ADAM.init(params))
+    f32_zeros = lambda p: jnp.zeros(p.shape, jnp.float32)  # noqa: E731
+    return OptState(adam=AdamState(
+        count=jnp.zeros((), jnp.int32),
+        mu=jax.tree_util.tree_map(f32_zeros, params),
+        nu=jax.tree_util.tree_map(f32_zeros, params),
+    ))
 
 
 def _global_norm(tree):
@@ -50,7 +67,8 @@ def apply_updates(params, grads, state: OptState, lr_weight, lr_feat,
 
     # L2 weight decay folded into the gradient (nnabla semantics)
     if wd > 0:
-        grads = jax.tree_util.tree_map(lambda g, p: g + wd * p, grads, params)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g + wd * p.astype(g.dtype), grads, params)
 
     if conf.train.clip_grad_norm > 0:
         clip = conf.train.clip_grad_norm
@@ -61,20 +79,30 @@ def apply_updates(params, grads, state: OptState, lr_weight, lr_feat,
     finite = jnp.all(jnp.asarray(
         [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
 
-    updates, new_adam = _ADAM.update(grads, state.adam, params)
+    adam = state.adam
+    t = adam.count + 1
+    mu = jax.tree_util.tree_map(
+        lambda m, g: _B1 * m + (1 - _B1) * g.astype(jnp.float32),
+        adam.mu, grads)
+    nu = jax.tree_util.tree_map(
+        lambda v, g: _B2 * v + (1 - _B2) * jnp.square(g.astype(jnp.float32)),
+        adam.nu, grads)
+    tf = t.astype(jnp.float32)
+    bias = jnp.sqrt(1.0 - _B2 ** tf) / (1.0 - _B1 ** tf)
+
     # static per-leaf LR choice (labels are compile-time); the update is
-    # computed in f32 and cast back so bf16 grid tables stay bf16 (plain
-    # p - lr*u would silently promote them to f32)
-    new_params = jax.tree_util.tree_map_with_path(
-        lambda path, p, u: (p.astype(jnp.float32)
-                            - (lr_feat if is_grid_feature_path(path)
-                               else lr_weight) * u.astype(jnp.float32)
-                            ).astype(p.dtype),
-        params, updates)
+    # computed in f32 and cast back so bf16 grid tables stay bf16
+    def upd(path, p, m, v):
+        lr = lr_feat if is_grid_feature_path(path) else lr_weight
+        step = (lr * bias) * m / (jnp.sqrt(v) + _EPS)
+        return (p.astype(jnp.float32) - step).astype(p.dtype)
+
+    new_params = jax.tree_util.tree_map_with_path(upd, params, mu, nu)
 
     # skip the whole step (params AND moments) on non-finite grads
-    new_params = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(finite, new, old), new_params, params)
-    new_adam = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(finite, new, old), new_adam, state.adam)
-    return new_params, OptState(adam=new_adam), finite
+    sel = lambda new, old: jnp.where(finite, new, old)  # noqa: E731
+    new_params = jax.tree_util.tree_map(sel, new_params, params)
+    mu = jax.tree_util.tree_map(sel, mu, adam.mu)
+    nu = jax.tree_util.tree_map(sel, nu, adam.nu)
+    new_count = jnp.where(finite, t, adam.count)
+    return new_params, OptState(adam=AdamState(new_count, mu, nu)), finite

@@ -57,6 +57,22 @@ VARIANTS = {
     "no_specular": ["specular_brdf.weight=0.0"],
     "f32_mlp": ["precision.mlp_dtype=float32"],
     "no_implicit": ["implicit_illumination_network.use_me=false"],
+    # diagnostic (semantics-changing): softplus(beta=100) -> relu everywhere.
+    # Sizes the VPU-transcendental share of the MLP stack.
+    "all_relu": [f"{n}.act=relu" for n in (
+        "geometric_network", "base_color_network",
+        "environment_light_network", "soft_visibility_light_network",
+        "implicit_illumination_network", "photogrammetric_light_network",
+        "roughness_network", "specular_reflectance_network",
+        "background_network")],
+    "bf16_grid": ["precision.grid_dtype=bfloat16"],
+    "bf16_grid_relu": ["precision.grid_dtype=bfloat16"] + [
+        f"{n}.act=relu" for n in (
+            "geometric_network", "base_color_network",
+            "environment_light_network", "soft_visibility_light_network",
+            "implicit_illumination_network", "photogrammetric_light_network",
+            "roughness_network", "specular_reflectance_network",
+            "background_network")],
     "no_priors": ["train.roughness_prior_weight=0.0",
                   "train.specular_reflectance_prior_weight=0.0"],
 }
