@@ -329,12 +329,14 @@ def _geometric_mlp(params: Params, pe_x: jax.Array, vfeat, conf):
 def geometric_supports_shared_gather(params: Params, conf) -> bool:
     """Whether the dense-voxel shared-gather fast path applies (see
     :func:`geometric_apply_corners`)."""
-    from ndjir_tpu.ops.grid import use_zdup_layout
+    from ndjir_tpu.ops.grid import use_octa_layout, use_zdup_layout
 
     g = conf.geometric_network
-    return ("grid" in params and g.voxel.type in ("voxel", "cosine_voxel")
-            and not g.voxel.use_ste
-            and use_zdup_layout(params["grid"]["F"].shape))
+    if "grid" not in params or g.voxel.type not in ("voxel", "cosine_voxel") \
+            or g.voxel.use_ste:
+        return False
+    F = params["grid"]["F"]
+    return use_zdup_layout(F.shape) or use_octa_layout(F.shape, F.dtype)
 
 
 def geometric_gather_corners(params: Params, x_list, conf):
@@ -362,11 +364,14 @@ def geometric_apply_corners(params: Params, x: jax.Array, corners: jax.Array,
     r = conf.renderer.bounding_sphere_radius
     kind = "cosine" if g.voxel.type.startswith("cosine_") else "linear"
     pe_x = positional_encoding(x, g.pe_bands) if g.pe_bands > 0 else x
-    vfeat = voxel_interp_corners(x, corners, params["grid"]["F"].shape,
+    F = params["grid"]["F"]
+    vfeat = voxel_interp_corners(x, corners, F.shape,
                                  (-r,) * 3, (r,) * 3, kind)
     sdf, feature, gain = _geometric_mlp(params, pe_x, vfeat, conf)
     if with_tv:
-        return sdf, feature, gain, voxel_tv_corners(corners, x.dtype, tv_sym)
+        octa = corners.ndim == x.ndim and corners.shape[-1] == 8 * F.shape[-1]
+        return sdf, feature, gain, voxel_tv_corners(corners, x.dtype, tv_sym,
+                                                    octa=octa)
     return sdf, feature, gain
 
 

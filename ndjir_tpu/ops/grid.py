@@ -129,6 +129,87 @@ def _voxel_zdup_flat(feature: jax.Array) -> jax.Array:
         axis=-1).reshape(-1, 2 * feature.shape[-1])
 
 
+# The octa layout packs ALL 8 cell corners into one 8D-wide row, so a
+# trilinear query is ONE gather row per point instead of 4 (z-dup) or 8.
+# Measured on v5e (1M random rows, G=256 table): one 64 B bf16 row costs
+# 25.5 ns vs 4 x 11.5 ns for the z-dup pair rows — the gather unit's per-row
+# cost grows sub-linearly with width.  The 8x table is bf16-only and
+# budget-gated (G=256 x D=4 -> 1.07 GB transient; G=512 falls back to z-dup).
+_OCTA_MAX_BYTES = int(os.environ.get("NDJIR_OCTA_MAX_BYTES", 1_200_000_000))
+
+
+def use_octa_layout(gshape, dtype) -> bool:
+    """Whether the 8-corner-packed duplicated table layout applies."""
+    Gx, Gy, Gz, D = gshape
+    return (jnp.dtype(dtype) == jnp.bfloat16
+            and Gx * Gy * Gz * 8 * D * 2 <= _OCTA_MAX_BYTES)
+
+
+def _voxel_octa_flat(feature: jax.Array) -> jax.Array:
+    """(G,G,G,D) -> (G^3, 8D): row (x,y,z) holds the features of cells
+    (x+dx, y+dy, z+dz), channel block c = dx*4 + dy*2 + dz; the +1 neighbour
+    duplicates the last slice per axis (matching the clamped-corner
+    semantics of :func:`_corners`).  Autodiff of this build routes the
+    duplicated-row cotangents back to the base table (shifted adds)."""
+    def dup(f, axis):
+        shifted = jnp.concatenate(
+            [jax.lax.slice_in_dim(f, 1, f.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(f, f.shape[axis] - 1, f.shape[axis],
+                                  axis=axis)], axis=axis)
+        return jnp.concatenate([f, shifted], axis=-1)
+
+    f = dup(feature, 2)          # (..., 2D): (z0, z1)
+    f = dup(f, 1)                # (..., 4D): (y0z0, y0z1, y1z0, y1z1)
+    f = dup(f, 0)                # (..., 8D): x0 block then x1 block
+    return f.reshape(-1, 8 * feature.shape[-1])
+
+
+def voxel_octa_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
+                   vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
+    """(*x.shape[:-1],) int32 row ids into the octa table (the clamped floor
+    corner; the row's duplicated neighbours reproduce xyz1 = min(xyz0+1, G-1)
+    exactly)."""
+    Gx, Gy, Gz, _ = gshape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    i0 = jnp.clip(jnp.floor(xyz), 0.0, g1).astype(jnp.int32)
+    return i0[..., 0] * (Gy * Gz) + i0[..., 1] * Gz + i0[..., 2]
+
+
+def voxel_interp_octa(x: jax.Array, f: jax.Array, gshape,
+                      vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
+                      weight: str = "linear") -> jax.Array:
+    """Trilinear/cosine combine of one pre-gathered octa row f (..., 8D):
+    nested per-axis pair reduction (x, then y, then z block halves)."""
+    Gx, Gy, Gz, D = gshape
+    dtype = x.dtype
+    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
+    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
+    xyz0, xyz1 = _corners(xyz, g1)
+    w0, w1 = _weights(xyz, xyz0, xyz1, weight)
+    fx = w0[..., 0:1] * f[..., :4 * D] + w1[..., 0:1] * f[..., 4 * D:]
+    fy = w0[..., 1:2] * fx[..., :2 * D] + w1[..., 1:2] * fx[..., 2 * D:]
+    return w0[..., 2:3] * fy[..., :D] + w1[..., 2:3] * fy[..., D:]
+
+
+def voxel_tv_octa(f: jax.Array, dtype, sym_backward: bool = True
+                  ) -> jax.Array:
+    """Cell TV map from one octa row f (..., 8D) (blocks c = dx*4+dy*2+dz:
+    000=0, 001=1, 010=2, 100=4).  Same semantics as
+    :func:`voxel_tv_corners` / ops.tv_loss.tv_loss_voxel."""
+    from ndjir_tpu.ops.tv_loss import _tv_sqrt
+
+    D = f.shape[-1] // 8
+    f000 = f[..., 0:D].astype(dtype)
+    f001 = f[..., D:2 * D].astype(dtype)
+    f010 = f[..., 2 * D:3 * D].astype(dtype)
+    f100 = f[..., 4 * D:5 * D].astype(dtype)
+    base = f000 if sym_backward else jax.lax.stop_gradient(f000)
+    s = (f100 - base) ** 2 + (f010 - base) ** 2 + (f001 - base) ** 2
+    return _tv_sqrt(s)
+
+
 def voxel_zdup_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
                    vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
     """(4, *x.shape[:-1]) int32 row ids into the z-paired table, in
@@ -154,13 +235,28 @@ def voxel_zdup_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
 
 def voxel_gather_multi(x_list, feature: jax.Array,
                        vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX):
-    """Gather z-paired corner rows for SEVERAL point sets with ONE
+    """Gather duplicated-layout corner rows for SEVERAL point sets with ONE
     ``gather_rows`` call, so the training backward issues ONE fused scatter
     for all sets (2x1M-row scatters cost ~2x19.7 ms; one 2.1M-row scatter
-    ~29 ms).  Returns a list of (4, *shape_i, 2D) corner tensors, consumed
-    by :func:`voxel_interp_corners` / :func:`voxel_tv_corners`.
+    ~29 ms).  Octa layout (bf16, budget-gated): one (*, 8D) row per point;
+    z-dup fallback: (4, *, 2D) corner tensors.  Consumed by
+    :func:`voxel_interp_corners` / :func:`voxel_tv_corners`, which dispatch
+    on the tensor shape.
 
-    Caller must have checked :func:`use_zdup_layout`."""
+    Caller must have checked :func:`use_zdup_layout` /
+    :func:`use_octa_layout`."""
+    if use_octa_layout(feature.shape, feature.dtype):
+        D8 = 8 * feature.shape[-1]
+        flat8 = _voxel_octa_flat(feature)
+        ids = [voxel_octa_ids(x, feature.shape, vmin, vmax) for x in x_list]
+        flat_ids = [i.reshape(-1) for i in ids]
+        ns = [fi.shape[0] for fi in flat_ids]
+        f = gather_rows(flat8, jnp.concatenate(flat_ids, axis=0))
+        out, off = [], 0
+        for i, n in zip(ids, ns):
+            out.append(f[off:off + n].reshape(*i.shape, D8))
+            off += n
+        return out
     D2 = 2 * feature.shape[-1]
     flat2 = _voxel_zdup_flat(feature)
     ids = [voxel_zdup_ids(x, feature.shape, vmin, vmax) for x in x_list]
@@ -177,10 +273,13 @@ def voxel_gather_multi(x_list, feature: jax.Array,
 def voxel_interp_corners(x: jax.Array, f: jax.Array, gshape,
                          vmin: Vec3 = DEFAULT_MIN, vmax: Vec3 = DEFAULT_MAX,
                          weight: str = "linear") -> jax.Array:
-    """Trilinear/cosine combine of pre-gathered z-paired corners
-    f (4, ..., 2D).  Differentiable w.r.t. ``x`` through the interpolation
-    weights; ``f`` is constant w.r.t. ``x`` (ids are piecewise constant), so
-    spatial-gradient vjps over this function never touch the table."""
+    """Trilinear/cosine combine of pre-gathered corners: z-dup layout
+    f (4, ..., 2D) or octa layout f (..., 8D) (dispatch on shape).
+    Differentiable w.r.t. ``x`` through the interpolation weights; ``f`` is
+    constant w.r.t. ``x`` (ids are piecewise constant), so spatial-gradient
+    vjps over this function never touch the table."""
+    if f.ndim == x.ndim and f.shape[-1] == 8 * gshape[-1]:
+        return voxel_interp_octa(x, f, gshape, vmin, vmax, weight)
     Gx, Gy, Gz, D = gshape
     dtype = x.dtype
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
@@ -195,13 +294,16 @@ def voxel_interp_corners(x: jax.Array, f: jax.Array, gshape,
     return jnp.sum(w[..., None] * pair, axis=0)
 
 
-def voxel_tv_corners(f: jax.Array, dtype, sym_backward: bool = True
-                     ) -> jax.Array:
+def voxel_tv_corners(f: jax.Array, dtype, sym_backward: bool = True,
+                     octa: bool = False) -> jax.Array:
     """Cell TV map from pre-gathered z-paired corners f (4, ..., 2D) — the
-    same four corners the interpolation reads (000, 001, 010, 100).
+    same four corners the interpolation reads (000, 001, 010, 100) — or,
+    with ``octa=True``, from octa rows f (..., 8D).
     Identical semantics to ops.tv_loss.tv_loss_voxel."""
     from ndjir_tpu.ops.tv_loss import _tv_sqrt
 
+    if octa:
+        return voxel_tv_octa(f, dtype, sym_backward)
     D = f.shape[-1] // 2
     # rows are (x0y0, x0y1, x1y0, x1y1) with z pair packed along features
     f000, f001, f010, f100 = f[0, ..., :D], f[0, ..., D:], f[1, ..., :D], \
@@ -229,7 +331,8 @@ def query_voxel(x: jax.Array, feature: jax.Array,
     Gx, Gy, Gz, D = feature.shape
     dtype = x.dtype
 
-    if use_zdup_layout(feature.shape):
+    if use_octa_layout(feature.shape, feature.dtype) \
+            or use_zdup_layout(feature.shape):
         (f,) = voxel_gather_multi([x], feature, vmin, vmax)
         return voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
 
@@ -273,6 +376,11 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
 
     Gx, Gy, Gz, D = feature.shape
     dtype = x.dtype
+
+    if use_octa_layout(feature.shape, feature.dtype):
+        (f,) = voxel_gather_multi([x], feature, vmin, vmax)
+        interp = voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
+        return interp, voxel_tv_corners(f, dtype, sym_backward, octa=True)
 
     if use_zdup_layout(feature.shape):
         (f,) = voxel_gather_multi([x], feature, vmin, vmax)

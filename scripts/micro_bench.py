@@ -46,6 +46,8 @@ STEPS = int(os.environ.get("NDJIR_MICRO_STEPS", "10"))
 conf = load_config("default", overrides=[
     f"geometric_network.voxel.grid_size={GRID}",
     "precision.mlp_dtype=bfloat16",
+    f"precision.grid_dtype="
+    f"{os.environ.get('NDJIR_MICRO_GRID_DTYPE', 'bfloat16')}",
 ])
 B, R, N = 4, 512, 128
 M = 2 * conf.renderer.n_thetas ** 2

@@ -342,3 +342,51 @@ def test_gather_multi_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(G.voxel_interp_corners(x_, f_, feat.shape)),
             np.asarray(G.query_voxel(x_, feat)), atol=1e-6)
+
+
+def test_octa_layout_matches_zdup(rng, monkeypatch):
+    """The octa (8-corner-packed-row) layout — production for bf16 tables
+    within the byte budget — must match the z-paired path in values, TV,
+    table gradients, and the multi-set shared gather."""
+    feat = jnp.asarray(rng.randn(9, 9, 9, 3).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(-1.15, 1.15, (40, 3)).astype(np.float32))
+    x = jnp.concatenate(
+        [x, jnp.asarray([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]])])
+
+    assert G.use_octa_layout(feat.shape, feat.dtype)
+    assert not G.use_octa_layout(feat.shape, jnp.float32)
+    q_o, tv_o = G.query_voxel_and_tv(x, feat)
+
+    def table_grad(f):
+        q, tv = G.query_voxel_and_tv(x, f)
+        return ((q.astype(jnp.float32) ** 2).sum()
+                + tv.astype(jnp.float32).sum())
+
+    g_o = jax.grad(table_grad)(feat).astype(jnp.float32)
+    q_ok = G.query_voxel(x, feat, weight="cosine")
+
+    monkeypatch.setattr(G, "_OCTA_MAX_BYTES", 0)
+    assert not G.use_octa_layout(feat.shape, feat.dtype)
+    q_z, tv_z = G.query_voxel_and_tv(x, feat)
+    g_z = jax.grad(table_grad)(feat).astype(jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(q_o), np.asarray(q_z), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(tv_o), np.asarray(tv_z), atol=2e-6)
+    # both paths round the bf16 table cotangent; allow bf16-level slack
+    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_z),
+                               rtol=2e-2, atol=2e-2)
+    monkeypatch.setattr(G, "_OCTA_MAX_BYTES", 10 ** 12)
+    np.testing.assert_allclose(
+        np.asarray(q_ok),
+        np.asarray(G.query_voxel(x, feat, weight="cosine")), atol=2e-6)
+
+    # multi-set shared gather, octa rows
+    xa = jnp.asarray(rng.uniform(-1.1, 1.1, (5, 11, 3)).astype(np.float32))
+    xb = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 9, 3)).astype(np.float32))
+    fa, fb = G.voxel_gather_multi([xa, xb], feat)
+    assert fa.shape == (5, 11, 8 * 3) and fb.shape == (2, 9, 8 * 3)
+    for x_, f_ in [(xa, fa), (xb, fb)]:
+        np.testing.assert_allclose(
+            np.asarray(G.voxel_interp_corners(x_, f_, feat.shape)),
+            np.asarray(G.query_voxel(x_, feat)), atol=2e-6)
