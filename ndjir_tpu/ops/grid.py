@@ -164,6 +164,68 @@ def _voxel_octa_flat(feature: jax.Array) -> jax.Array:
     return f.reshape(-1, 8 * feature.shape[-1])
 
 
+def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
+    """(8D, G^3) f32 octa-row cotangent -> (Gx, Gy, Gz, D) base-table
+    cotangent: the adjoint of :func:`_voxel_octa_flat` applied directly in
+    the scatter kernel's transposed layout (per-axis: identity block + a
+    one-cell shift + the clamped-edge duplicate folded onto the last slice),
+    in f32 throughout — replacing autodiff-of-concat folds on a transposed
+    (G^3, 8D) table (2x ~2 GB cheaper in HBM traffic at G=256, and the 8-way
+    duplicate sums no longer round through bf16)."""
+    Gx, Gy, Gz, D = gshape
+    c = cot_t.reshape(8 * D, Gx, Gy, Gz)
+
+    def fold(c, axis):
+        K = c.shape[0] // 2
+        a, b = c[:K], c[K:]
+        L = b.shape[axis]
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(b, 0, 1, axis=axis))
+        shifted = jnp.concatenate(
+            [zero, jax.lax.slice_in_dim(b, 0, L - 1, axis=axis)], axis=axis)
+        out = a + shifted
+        last = jax.lax.slice_in_dim(out, L - 1, L, axis=axis) \
+            + jax.lax.slice_in_dim(b, L - 1, L, axis=axis)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(out, 0, L - 1, axis=axis), last], axis=axis)
+
+    # inverse order of the _voxel_octa_flat build (z, y, x) -> fold x, y, z
+    c = fold(c, 1)
+    c = fold(c, 2)
+    c = fold(c, 3)
+    return jnp.transpose(c, (1, 2, 3, 0))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_octa(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
+    """Gather (..., 8D) octa rows for int row ids (...,) straight from the
+    BASE table (Gx, Gy, Gz, D).
+
+    Forward: builds the duplicated octa table (XLA CSE dedupes the build
+    across all query sites in a step) and gathers.  Backward: transposed
+    Pallas scatter-add into the kernel-native (8D, G^3) layout + the direct
+    :func:`_fold_octa_cotangent` adjoint — no (G^3, 8D) transpose pass and
+    no staged bf16 concat-VJP fold.
+    """
+    return _voxel_octa_flat(base)[ids]
+
+
+def _gather_octa_fwd(base, ids, gshape):
+    return _voxel_octa_flat(base)[ids], ids
+
+
+def _gather_octa_bwd(gshape, ids, g):
+    from ndjir_tpu.ops.scatter_pallas import scatter_add_rows_t
+
+    Gx, Gy, Gz, D = gshape
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, 8 * D)
+    cot_t = scatter_add_rows_t(flat_ids, flat_g, Gx * Gy * Gz)
+    return _fold_octa_cotangent(cot_t, gshape).astype(g.dtype), None
+
+
+gather_rows_octa.defvjp(_gather_octa_fwd, _gather_octa_bwd)
+
+
 def voxel_octa_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
                    vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
     """(*x.shape[:-1],) int32 row ids into the octa table (the clamped floor
@@ -247,11 +309,11 @@ def voxel_gather_multi(x_list, feature: jax.Array,
     :func:`use_octa_layout`."""
     if use_octa_layout(feature.shape, feature.dtype):
         D8 = 8 * feature.shape[-1]
-        flat8 = _voxel_octa_flat(feature)
         ids = [voxel_octa_ids(x, feature.shape, vmin, vmax) for x in x_list]
         flat_ids = [i.reshape(-1) for i in ids]
         ns = [fi.shape[0] for fi in flat_ids]
-        f = gather_rows(flat8, jnp.concatenate(flat_ids, axis=0))
+        f = gather_rows_octa(feature, jnp.concatenate(flat_ids, axis=0),
+                             tuple(feature.shape))
         out, off = [], 0
         for i, n in zip(ids, ns):
             out.append(f[off:off + n].reshape(*i.shape, D8))

@@ -116,8 +116,13 @@ def _scatter_kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ids_buf,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows",))
-def _scatter_add_rows_pallas(ids: jax.Array, vals: jax.Array,
-                             num_rows: int) -> jax.Array:
+def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
+                               num_rows: int) -> jax.Array:
+    """Transposed-output scatter-add: (d, num_rows) f32, no final transpose.
+
+    The accumulation layout inside the kernel is already (d, slab); wide-row
+    consumers (the octa grid-cotangent fold) read it directly, skipping a
+    2x full-table HBM transpose pass."""
     n, d = vals.shape
     n_slabs = pl.cdiv(num_rows, _SLAB)
     m_pad = n_slabs * _SLAB
@@ -159,7 +164,7 @@ def _scatter_add_rows_pallas(ids: jax.Array, vals: jax.Array,
         out_shape=jax.ShapeDtypeStruct((d, m_pad), jnp.float32),
         interpret=_INTERPRET,
     )(starts, ids_p.reshape(-1, _SUB), vals_p)
-    return out[:, :num_rows].T.astype(vals.dtype)
+    return out[:, :num_rows]
 
 
 def scatter_add_rows(ids: jax.Array, vals: jax.Array, num_rows: int
@@ -170,9 +175,20 @@ def scatter_add_rows(ids: jax.Array, vals: jax.Array, num_rows: int
     NDJIR_DISABLE_PALLAS_SCATTER=1).
     """
     if _on_tpu():
-        return _scatter_add_rows_pallas(ids, vals, num_rows)
+        return _scatter_add_rows_pallas_t(ids, vals, num_rows).T.astype(
+            vals.dtype)
     return jnp.zeros((num_rows, vals.shape[-1]),
                      vals.dtype).at[ids].add(vals)
+
+
+def scatter_add_rows_t(ids: jax.Array, vals: jax.Array, num_rows: int
+                       ) -> jax.Array:
+    """Transposed scatter-add: (D, num_rows) f32 accumulation (the kernel's
+    native layout — no transpose pass).  Used by wide-row cotangent folds."""
+    if _on_tpu():
+        return _scatter_add_rows_pallas_t(ids, vals, num_rows)
+    return jnp.zeros((num_rows, vals.shape[-1]),
+                     jnp.float32).at[ids].add(vals.astype(jnp.float32)).T
 
 
 # ---------------------------------------------------------------------------
