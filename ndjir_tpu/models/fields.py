@@ -336,7 +336,8 @@ def geometric_supports_shared_gather(params: Params, conf) -> bool:
             or g.voxel.use_ste:
         return False
     F = params["grid"]["F"]
-    return use_zdup_layout(F.shape) or use_octa_layout(F.shape, F.dtype)
+    return use_zdup_layout(F.shape, F.dtype) \
+        or use_octa_layout(F.shape, F.dtype)
 
 
 def geometric_gather_corners(params: Params, x_list, conf):

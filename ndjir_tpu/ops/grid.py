@@ -108,16 +108,21 @@ def init_voxel(key: jax.Array, G: int, D: int, eps: float = 1e-3,
     return eps * jax.random.normal(key, (G, G, G, D), dtype=dtype)
 
 
-_ZDUP_MAX_BYTES = int(os.environ.get("NDJIR_ZDUP_MAX_BYTES", 1_500_000_000))
+_ZDUP_MAX_BYTES = int(os.environ.get("NDJIR_ZDUP_MAX_BYTES", 2_200_000_000))
 
 
-def use_zdup_layout(gshape) -> bool:
+def use_zdup_layout(gshape, dtype=jnp.float32) -> bool:
     """Whether the z-paired duplicated table layout is used for this grid.
 
-    Budget uses f32 size regardless of actual dtype so a bf16 view of the
-    same table takes the same layout path as the f32 original."""
+    Budget is the ACTUAL transient table size (dtype-aware), so a bf16
+    G=512 x D=4 table (2.15 GB doubled) gets the 4-gather z-dup layout while
+    its f32 twin (4.3 GB) falls back to the 8-gather path.  Decisions at the
+    f32 reference workloads (G=256 in, G=512 out) are unchanged from the
+    old f32-bytes budget; layout parity is guarded by
+    tests/test_ops_grid.py::test_nonzdup_path_matches_zdup."""
     Gx, Gy, Gz, D = gshape
-    return Gx * Gy * Gz * 2 * D * 4 <= _ZDUP_MAX_BYTES
+    itemsize = jnp.dtype(dtype).itemsize
+    return Gx * Gy * Gz * 2 * D * itemsize <= _ZDUP_MAX_BYTES
 
 
 def _voxel_zdup_flat(feature: jax.Array) -> jax.Array:
@@ -164,35 +169,79 @@ def _voxel_octa_flat(feature: jax.Array) -> jax.Array:
     return f.reshape(-1, 8 * feature.shape[-1])
 
 
+def _fold_dup_axis(c: jax.Array, axis: int) -> jax.Array:
+    """Adjoint of one ``dup(f, axis)`` step on a channel-leading cotangent:
+    c (2K, ...) -> (K, ...) — identity block + a one-cell shift of the
+    duplicated block + the clamped-edge duplicate folded onto the last
+    slice."""
+    K = c.shape[0] // 2
+    a, b = c[:K], c[K:]
+    L = b.shape[axis]
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(b, 0, 1, axis=axis))
+    shifted = jnp.concatenate(
+        [zero, jax.lax.slice_in_dim(b, 0, L - 1, axis=axis)], axis=axis)
+    out = a + shifted
+    last = jax.lax.slice_in_dim(out, L - 1, L, axis=axis) \
+        + jax.lax.slice_in_dim(b, L - 1, L, axis=axis)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(out, 0, L - 1, axis=axis), last], axis=axis)
+
+
 def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     """(8D, G^3) f32 octa-row cotangent -> (Gx, Gy, Gz, D) base-table
     cotangent: the adjoint of :func:`_voxel_octa_flat` applied directly in
-    the scatter kernel's transposed layout (per-axis: identity block + a
-    one-cell shift + the clamped-edge duplicate folded onto the last slice),
-    in f32 throughout — replacing autodiff-of-concat folds on a transposed
-    (G^3, 8D) table (2x ~2 GB cheaper in HBM traffic at G=256, and the 8-way
-    duplicate sums no longer round through bf16)."""
+    the scatter kernel's transposed layout, in f32 throughout — replacing
+    autodiff-of-concat folds on a transposed (G^3, 8D) table (2x ~2 GB
+    cheaper in HBM traffic at G=256, and the 8-way duplicate sums no longer
+    round through bf16)."""
     Gx, Gy, Gz, D = gshape
     c = cot_t.reshape(8 * D, Gx, Gy, Gz)
-
-    def fold(c, axis):
-        K = c.shape[0] // 2
-        a, b = c[:K], c[K:]
-        L = b.shape[axis]
-        zero = jnp.zeros_like(jax.lax.slice_in_dim(b, 0, 1, axis=axis))
-        shifted = jnp.concatenate(
-            [zero, jax.lax.slice_in_dim(b, 0, L - 1, axis=axis)], axis=axis)
-        out = a + shifted
-        last = jax.lax.slice_in_dim(out, L - 1, L, axis=axis) \
-            + jax.lax.slice_in_dim(b, L - 1, L, axis=axis)
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(out, 0, L - 1, axis=axis), last], axis=axis)
-
     # inverse order of the _voxel_octa_flat build (z, y, x) -> fold x, y, z
-    c = fold(c, 1)
-    c = fold(c, 2)
-    c = fold(c, 3)
+    c = _fold_dup_axis(c, 1)
+    c = _fold_dup_axis(c, 2)
+    c = _fold_dup_axis(c, 3)
     return jnp.transpose(c, (1, 2, 3, 0))
+
+
+def _fold_zdup_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
+    """(2D, G^3) f32 z-dup-row cotangent -> (Gx, Gy, Gz, D) base-table
+    cotangent: the adjoint of :func:`_voxel_zdup_flat`, folded directly in
+    the scatter kernel's transposed f32 layout (skips the full-table
+    transpose + dtype roundtrip that autodiff-of-concat would pay — at
+    G=512 bf16 that is a ~2 GB HBM pass)."""
+    Gx, Gy, Gz, D = gshape
+    c = cot_t.reshape(2 * D, Gx, Gy, Gz)
+    c = _fold_dup_axis(c, 3)
+    return jnp.transpose(c, (1, 2, 3, 0))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_zdup(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
+    """Gather (..., 2D) z-paired rows for int row ids (...,) straight from
+    the BASE table (Gx, Gy, Gz, D).
+
+    Forward: builds the z-dup table (XLA CSE dedupes the build across all
+    query sites in a step) and gathers.  Backward: transposed Pallas
+    scatter-add into the kernel-native (2D, G^3) f32 layout + the direct
+    :func:`_fold_zdup_cotangent` adjoint."""
+    return _voxel_zdup_flat(base)[ids]
+
+
+def _gather_zdup_fwd(base, ids, gshape):
+    return _voxel_zdup_flat(base)[ids], ids
+
+
+def _gather_zdup_bwd(gshape, ids, g):
+    from ndjir_tpu.ops.scatter_pallas import scatter_add_rows_t
+
+    Gx, Gy, Gz, D = gshape
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, 2 * D)
+    cot_t = scatter_add_rows_t(flat_ids, flat_g, Gx * Gy * Gz)
+    return _fold_zdup_cotangent(cot_t, gshape).astype(g.dtype), None
+
+
+gather_rows_zdup.defvjp(_gather_zdup_fwd, _gather_zdup_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -320,11 +369,11 @@ def voxel_gather_multi(x_list, feature: jax.Array,
             off += n
         return out
     D2 = 2 * feature.shape[-1]
-    flat2 = _voxel_zdup_flat(feature)
     ids = [voxel_zdup_ids(x, feature.shape, vmin, vmax) for x in x_list]
     flat_ids = [i.reshape(4, -1) for i in ids]
     ns = [fi.shape[1] for fi in flat_ids]
-    f = gather_rows(flat2, jnp.concatenate(flat_ids, axis=1))
+    f = gather_rows_zdup(feature, jnp.concatenate(flat_ids, axis=1),
+                         tuple(feature.shape))
     out, off = [], 0
     for i, n in zip(ids, ns):
         out.append(f[:, off:off + n].reshape(*i.shape, D2))
@@ -394,7 +443,7 @@ def query_voxel(x: jax.Array, feature: jax.Array,
     dtype = x.dtype
 
     if use_octa_layout(feature.shape, feature.dtype) \
-            or use_zdup_layout(feature.shape):
+            or use_zdup_layout(feature.shape, feature.dtype):
         (f,) = voxel_gather_multi([x], feature, vmin, vmax)
         return voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
 
@@ -444,7 +493,7 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
         interp = voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
         return interp, voxel_tv_corners(f, dtype, sym_backward, octa=True)
 
-    if use_zdup_layout(feature.shape):
+    if use_zdup_layout(feature.shape, feature.dtype):
         (f,) = voxel_gather_multi([x], feature, vmin, vmax)
         interp = voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
         return interp, voxel_tv_corners(f, dtype, sym_backward)
