@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import os
+
 from ndjir_tpu.config import Config
 from ndjir_tpu.data.cameras import generate_raydir_camloc
 from ndjir_tpu.data.dataset import IDRDataset
@@ -30,8 +32,20 @@ from ndjir_tpu.models.fields import init_model
 from ndjir_tpu.parallel.mesh import ShardingPlan
 from ndjir_tpu.render.loss import total_loss
 from ndjir_tpu.train import schedules
+from ndjir_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
 from ndjir_tpu.train.optim import apply_updates, init_optimizer
-from ndjir_tpu.utils.monitor import logger
+from ndjir_tpu.utils.monitor import (
+    Monitor,
+    MonitorImage,
+    MonitorSeries,
+    MonitorTimeElapsed,
+    logger,
+)
+from ndjir_tpu.utils.runtime import setup_compilation_cache
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -78,26 +92,41 @@ class MultiSceneTrainer:
 
     ``conf.parallel.mesh_shape`` = [n_scene_groups, n_ray_shards]; S must be
     divisible by n_scene_groups.
+
+    Production parity with the single-scene :class:`~ndjir_tpu.train.trainer.
+    Trainer`: per-scene monitor dirs (reference-compatible flat-file series,
+    helper.py:99-124 naming), full-state checkpoint/resume of the stacked
+    pytree, per-scene validation (render + PSNR + mesh extraction via
+    :meth:`scene_params`), and per-iteration NaN-skip surfacing.
     """
 
     def __init__(self, conf: Config, scene_paths: List[str],
                  datasets: Optional[List[IDRDataset]] = None):
+        setup_compilation_cache()
         self.conf = conf
         self.scene_paths = scene_paths
         S = len(scene_paths)
         self.plan = ShardingPlan(conf)
         mesh = self.plan.mesh
 
+        # per-scene confs + monitor dirs (<monitor_base>_<scene>, config
+        # snapshot included — same layout the single-scene Trainer writes)
+        from ndjir_tpu.train.trainer import setup_monitor_dir
+        self.scene_confs = []
+        self.monitor_paths = []
+        for p in scene_paths:
+            c = Config(conf.to_dict())
+            c.data_path = p
+            self.monitor_paths.append(setup_monitor_dir(c, train=True))
+            self.scene_confs.append(c)
+
         if datasets is not None:
             self.datasets = datasets
         else:
-            self.datasets = []
-            for p in scene_paths:
-                c = Config(conf.to_dict())
-                c.data_path = p
-                self.datasets.append(IDRDataset(
-                    c, train=True, shuffle=True,
-                    process_index=jax.process_index()))
+            self.datasets = [IDRDataset(
+                c, train=True, shuffle=True,
+                process_index=jax.process_index())
+                for c in self.scene_confs]
 
         # per-scene params stacked on a sharded leading axis
         keys = jax.random.split(jax.random.PRNGKey(0), S)
@@ -105,18 +134,90 @@ class MultiSceneTrainer:
         opt_list = [init_optimizer(p) for p in params_list]
         stack = lambda trees: jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *trees)
-        self.params_s = stack(params_list)
-        self.opt_state_s = stack(opt_list)
-
-        self.params_s = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(
-                mesh, P(self.plan.names[0], *([None] * (x.ndim - 1))))),
-            self.params_s)
-        self.opt_state_s = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(
-                mesh, P(self.plan.names[0], *([None] * (x.ndim - 1))))),
-            self.opt_state_s)
+        self.params_s = self._shard_state(stack(params_list))
+        self.opt_state_s = self._shard_state(stack(opt_list))
         self.lr_w_base, self.lr_f_base = schedules.scaled_base_lrs(conf)
+
+        # combined checkpoint of the stacked pytree (single writer; scene
+        # order is the scene_paths order, recorded in the manifest)
+        self.ckpt_dir = os.path.join(
+            f"{conf.monitor_base_path}_multiscene", "checkpoints")
+        self.start_epoch = 0
+        self._maybe_resume()
+        self._make_monitors()
+
+    def _shard_state(self, tree):
+        mesh = self.plan.mesh
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(self.plan.names[0], *([None] * (x.ndim - 1))))),
+            tree)
+
+    def _maybe_resume(self):
+        latest = latest_checkpoint(self.ckpt_dir)
+        if latest:
+            self.params_s, self.opt_state_s, extra = load_checkpoint(
+                latest, self.params_s, self.opt_state_s)
+            self.params_s = self._shard_state(self.params_s)
+            self.opt_state_s = self._shard_state(self.opt_state_s)
+            self.start_epoch = int(extra.get("step", 0)) + 1
+            logger.info(f"[multi-scene] resumed from {latest} at epoch "
+                        f"{self.start_epoch}")
+
+    def _make_monitors(self):
+        names = ["Training loss", "RGB loss", "Eikonal loss", "TV loss",
+                 "Mask loss", "Base color prior", "Roughness prior",
+                 "Specular reflectance prior", "Std roughness reg",
+                 "Std specular reflectance reg", "Gain"]
+        keys = ["loss", "loss_rgb", "loss_eikonal", "loss_tv", "loss_mask",
+                "prior_base_color", "prior_roughness",
+                "prior_specular_reflectance", "reg_std_roughness",
+                "reg_std_specular_reflectance", "gain"]
+        self.series = []
+        self.monitor_time = []
+        self.monitor_psnr = []
+        self.monitor_image = []
+        for s, (mp, ds) in enumerate(zip(self.monitor_paths, self.datasets)):
+            m = Monitor(mp)
+            self.series.append({k: MonitorSeries(n, m, verbose=False)
+                                for n, k in zip(names, keys)})
+            self.monitor_time.append(MonitorTimeElapsed("Training time", m))
+            Wl = ds.W // 2 ** self.conf.valid.n_down_samples
+            Hl = ds.H // 2 ** self.conf.valid.n_down_samples
+            self.monitor_psnr.append(MonitorSeries(f"PSNR {Wl}x{Hl}", m))
+            self.monitor_image.append(
+                MonitorImage(f"Rendered image {Wl}x{Hl}", m))
+
+    # -- validation ----------------------------------------------------------
+    def validate(self, epoch: int, final: bool = False):
+        """Per-scene render + PSNR + mesh extraction (the single-scene
+        Trainer.validate, mapped over scene_params)."""
+        from ndjir_tpu.eval.image import psnr
+        from ndjir_tpu.render.image import render_image
+
+        for s, (conf, ds, mp) in enumerate(zip(
+                self.scene_confs, self.datasets, self.monitor_paths)):
+            params = jax.device_get(self.scene_params(s))
+            idx = conf.valid.index % ds.size
+            rimage = render_image(
+                params, ds.poses[idx:idx + 1], ds.intrinsics[idx:idx + 1],
+                (ds.W, ds.H), conf,
+                lv_gain=schedules.light_visibility_gain(epoch, conf))
+            dn = 2 ** conf.valid.n_down_samples
+            gt = ds.images[idx][::dn, ::dn, :][np.newaxis].transpose(
+                0, 3, 1, 2)
+            h = min(gt.shape[2], rimage.shape[2])
+            w = min(gt.shape[3], rimage.shape[3])
+            self.monitor_image[s].add(epoch, rimage)
+            self.monitor_psnr[s].add(epoch, psnr(rimage[:, :, :h, :w],
+                                                 gt[:, :, :h, :w]))
+            try:
+                from ndjir_tpu.extract.mc import extract_mesh_for_validation
+                extract_mesh_for_validation(params, conf, mp, epoch,
+                                            final=final, dataset=ds)
+            except Exception as e:  # extraction must never kill training
+                logger.info(f"[multi-scene] mesh extraction failed for "
+                            f"scene {s} (continuing): {e!r}")
 
     def _batch_sharding(self, ndim):
         # (S, B, R, ...): scenes over data axis, rays over rays axis
@@ -150,7 +251,12 @@ class MultiSceneTrainer:
         E = epochs if epochs is not None else conf.train.epoch
         iters = min(ds.iters_per_epoch for ds in self.datasets)
         mon = {}
-        for epoch in range(E):
+        for epoch in range(self.start_epoch, E):
+            if (epoch != 0 and conf.valid.epoch_interval > 0
+                    and epoch % conf.valid.epoch_interval == 0
+                    and not conf.valid.skip):
+                self.validate(epoch)
+
             # schedule(e-1) with epoch-0 initial values (reference parity;
             # see Trainer.train)
             if epoch == 0:
@@ -161,6 +267,9 @@ class MultiSceneTrainer:
                 lr_f = schedules.learning_rate(epoch - 1, self.lr_f_base, conf)
                 car = schedules.cos_anneal_ratio(epoch - 1, conf)
                 lvg = schedules.light_visibility_gain(epoch - 1, conf)
+            # per-iteration monitors collected as device futures, fetched
+            # once per epoch (same pipeline-preserving pattern as Trainer)
+            epoch_mons: list = []
             for it in range(iters):
                 camloc, raydir, color, mask = self.next_batch()
                 self.params_s, self.opt_state_s, mon = multi_scene_train_step(
@@ -168,8 +277,37 @@ class MultiSceneTrainer:
                     mask, jnp.float32(car), jnp.float32(lvg),
                     jnp.float32(lr_w), jnp.float32(lr_f),
                     jnp.asarray(epoch * iters + it, jnp.int32), conf)
-            losses = np.asarray(mon["loss"])
+                epoch_mons.append(mon)
+
+            fetched = jax.device_get(epoch_mons)
+            for it, m in enumerate(fetched):
+                gstep = epoch * iters + it
+                for s in range(len(self.datasets)):
+                    for k, series in self.series[s].items():
+                        series.add(gstep, m[k][s])
+                    if not bool(np.asarray(m["grads_finite"])[s]):
+                        logger.info(
+                            f"[multi-scene] non-finite grads for scene {s} "
+                            f"at epoch {epoch} iter {it} (update skipped)")
+            losses = np.mean([np.asarray(m["loss"]) for m in fetched], axis=0)
             logger.info(f"[multi-scene] epoch {epoch}: losses {losses}")
+            for s in range(len(self.datasets)):
+                self.monitor_time[s].add(epoch)
+
+            if (conf.train.checkpoint_interval_epochs > 0
+                    and (epoch + 1) % conf.train.checkpoint_interval_epochs
+                    == 0):
+                save_checkpoint(
+                    self.ckpt_dir, epoch, self.params_s, self.opt_state_s,
+                    extra={"scenes": [str(p) for p in self.scene_paths]},
+                    keep=conf.train.keep_checkpoints)
+        if E > self.start_epoch:
+            save_checkpoint(
+                self.ckpt_dir, E - 1, self.params_s, self.opt_state_s,
+                extra={"scenes": [str(p) for p in self.scene_paths]},
+                keep=conf.train.keep_checkpoints)
+        if not conf.valid.skip:
+            self.validate(E - 1, final=True)
         return mon
 
     def scene_params(self, i: int):

@@ -17,6 +17,7 @@ def test_multi_scene_trains_and_shards(tmp_path):
         "parallel.mesh_shape=[2,4]",   # 2 scene groups x 4-way ray sharding
         "train.epoch=2",
         "valid.skip=true",
+        f"monitor_base_path={tmp_path / 'mon'}",
     ])
     t = MultiSceneTrainer(conf, scenes)
     # params stacked with leading scene axis, sharded across 8 devices
@@ -82,3 +83,55 @@ def test_multi_scene_matches_single_scene(tmp_path):
             lambda x: x[s], ps2)["geometric-network"]["affine-00"]["W"])
         w_single = np.asarray(p1["geometric-network"]["affine-00"]["W"])
         np.testing.assert_allclose(w_multi, w_single, atol=1e-5)
+
+
+def test_multi_scene_trainer_e2e_resume_and_extract(tmp_path):
+    """Production-parity path: train 2 scenes, write per-scene monitor
+    series + combined checkpoint, resume from it in a fresh trainer, and
+    extract both scenes' meshes via final validation."""
+    import os
+
+    from ndjir_tpu.parallel.multi_scene import MultiSceneTrainer
+
+    scenes = [make_synthetic_scene(str(tmp_path / f"s{i}"), n_views=2, H=24,
+                                   W=24, seed=i) for i in range(2)]
+    overrides = [
+        "parallel.mesh_shape=[2,4]",
+        "train.epoch=3",
+        "valid.epoch_interval=0",
+        "valid.n_down_samples=3",
+        "valid.n_rays=32",
+        "extraction.grid_size=12",
+        f"monitor_base_path={tmp_path / 'mon'}",
+    ]
+    conf = load_config("tiny_test", overrides=overrides)
+
+    t = MultiSceneTrainer(conf, scenes)
+    t.train(epochs=2)   # trains epochs 0..1, checkpoints each epoch
+
+    # per-scene monitor dirs with per-iteration series
+    for mp in t.monitor_paths:
+        series = os.path.join(mp, "Training-loss.series.txt")
+        assert os.path.exists(series)
+        assert len(open(series).read().strip().splitlines()) >= 2
+        assert os.path.exists(os.path.join(mp, "config.yaml"))
+    ck = os.path.join(str(tmp_path / "mon") + "_multiscene", "checkpoints")
+    assert any(f.endswith(".msgpack") for f in os.listdir(ck))
+
+    w_before = np.asarray(jax.device_get(
+        t.scene_params(1)["geometric-network"]["affine-00"]["W"]))
+
+    # fresh trainer resumes from the combined checkpoint
+    conf2 = load_config("tiny_test", overrides=overrides)
+    t2 = MultiSceneTrainer(conf2, scenes)
+    assert t2.start_epoch == 2
+    w_resumed = np.asarray(jax.device_get(
+        t2.scene_params(1)["geometric-network"]["affine-00"]["W"]))
+    np.testing.assert_array_equal(w_resumed, w_before)
+
+    # continue one epoch + final per-scene validation/extraction
+    t2.train(epochs=3)
+    for mp in t2.monitor_paths:
+        assert os.path.exists(os.path.join(mp, "PSNR-3x3.series.txt"))
+        objs = [f for f in os.listdir(mp) if f.endswith(".obj")]
+        assert objs, f"no extracted mesh in {mp}"
