@@ -5,13 +5,23 @@ Baseline: the reference's derived A100 throughput of ~4.1k rays/s at the
 default workload (B=4, R=512, 128 fg + 32 bg samples, 2x128 light dirs;
 BASELINE.md).  The benchmarked step is the same default-config workload.
 
-Env knobs:
+Default run = the FULL perf story: five modes in one invocation
+(G=256 production bf16, G=256 f32 strict parity, G=512 production — the
+reference's true default grid, G=256 + coarse_grid proposal opt-in, and the
+fused 8-step scan path), each printed as its own JSON line as it completes
+and folded into the final headline line's "modes" field.  Partial results
+are flushed to BENCH_MODES.json after every mode, so a timeout still leaves
+a committed record.  NDJIR_BENCH_SUITE=0 runs only the single headline mode.
+
+Env knobs (single-mode runs):
   NDJIR_BENCH_GRID      grid size (default 256; 512 is the reference default
                         and needs precision.grid_dtype=bfloat16 on 16 GB)
   NDJIR_BENCH_STEPS     timed steps (default 20)
   NDJIR_BENCH_CONFIG    config name (default "default")
   NDJIR_BENCH_MLP_DTYPE bfloat16 (default) | float32 strict-parity
+  NDJIR_BENCH_GRID_DTYPE bfloat16 (default) | float32 strict-parity
   NDJIR_BENCH_PROPOSAL  "" (reference network proposals) | coarse_grid opt-in
+  NDJIR_BENCH_SPC       >1 benches the fused multi-step scan path
   NDJIR_BENCH_MESH      "D,R" scaling mode: weak-scaled global batch
                         (B*D, R*R_axis) over a (data, rays) device mesh; also
                         times the [1,1] single-device run and reports a
@@ -28,40 +38,46 @@ import sys
 import time
 
 BASELINE_RAYS_PER_S = 4100.0
+MODES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_MODES.json")
 
 
-def build_conf(mesh=(1, 1)):
+def build_conf(mesh=(1, 1), grid=None, mlp_dtype=None, grid_dtype=None,
+               proposal=None):
     from ndjir_tpu.config import load_config
 
-    grid = int(os.environ.get("NDJIR_BENCH_GRID", "256"))
+    grid = grid if grid is not None \
+        else int(os.environ.get("NDJIR_BENCH_GRID", "256"))
     config = os.environ.get("NDJIR_BENCH_CONFIG", "default")
-    mlp_dtype = os.environ.get("NDJIR_BENCH_MLP_DTYPE", "bfloat16")
+    # bf16 MXU with f32 accumulation is the production TPU precision
+    # (loss parity to ~3e-4); float32 for strict parity.
+    mlp_dtype = mlp_dtype if mlp_dtype is not None \
+        else os.environ.get("NDJIR_BENCH_MLP_DTYPE", "bfloat16")
     overrides = [
         f"geometric_network.voxel.grid_size={grid}",
-        # bf16 MXU with f32 accumulation is the production TPU precision
-        # (loss parity to ~3e-4); NDJIR_BENCH_MLP_DTYPE=float32 for strict
-        # parity.
         f"precision.mlp_dtype={mlp_dtype}",
         f"parallel.mesh_shape=[{mesh[0]},{mesh[1]}]",
     ]
     # bf16 grid tables are the production TPU precision (f32 master weights
     # and f32 scatter accumulation; halves the gather bytes and the table's
-    # HBM footprint).  NDJIR_BENCH_GRID_DTYPE=float32 for strict parity.
-    grid_dtype = os.environ.get("NDJIR_BENCH_GRID_DTYPE", "bfloat16")
+    # HBM footprint).  float32 for strict parity.
+    grid_dtype = grid_dtype if grid_dtype is not None \
+        else os.environ.get("NDJIR_BENCH_GRID_DTYPE", "bfloat16")
     if grid_dtype and grid_dtype != "float32":
         overrides.append(f"precision.grid_dtype={grid_dtype}")
     if os.environ.get("NDJIR_BENCH_REMAT", ""):
         overrides.append("train.remat_heads=true")
-    # NDJIR_BENCH_PROPOSAL=coarse_grid A/Bs the cached-proposal opt-in
-    # (amortized refresh included in the timed loop); default is the
-    # reference-parity network-proposal path.
-    proposal = os.environ.get("NDJIR_BENCH_PROPOSAL", "")
+    # coarse_grid A/Bs the cached-proposal opt-in (amortized refresh included
+    # in the timed loop); default is the reference-parity network-proposal
+    # path.
+    proposal = proposal if proposal is not None \
+        else os.environ.get("NDJIR_BENCH_PROPOSAL", "")
     if proposal:
         overrides.append(f"renderer.proposal_method={proposal}")
     return load_config(config, overrides=overrides)
 
 
-def time_one(conf, mesh=(1, 1)):
+def time_one(conf, mesh=(1, 1), spc=None):
     """Compile + time the train step for one mesh shape; returns rays/s."""
     import jax
     import jax.numpy as jnp
@@ -115,10 +131,11 @@ def time_one(conf, mesh=(1, 1)):
         leaf = jax.tree_util.tree_leaves(tree)[0]
         np.asarray(jax.device_get(leaf).ravel()[:1])
 
-    # NDJIR_BENCH_SPC>1 benches the fused multi-step scan path
-    # (train.steps_per_call): n_steps land in ceil(n/spc) jitted calls with
-    # pre-staged batches instead of one dispatch per step.
-    spc = int(os.environ.get("NDJIR_BENCH_SPC", "1"))
+    # spc>1 benches the fused multi-step scan path (train.steps_per_call):
+    # n_steps land in ceil(n/spc) jitted calls with pre-staged batches
+    # instead of one dispatch per step.
+    spc = spc if spc is not None \
+        else int(os.environ.get("NDJIR_BENCH_SPC", "1"))
     if spc > 1:
         from ndjir_tpu.train.trainer import train_steps
 
@@ -160,6 +177,45 @@ def time_one(conf, mesh=(1, 1)):
     return B * R * n_steps / dt
 
 
+# The full perf story (VERDICT r2 item 1): headline first so a timeout
+# still records it; every entry states its parity relation to the reference.
+SUITE = [
+    ("g256_production", dict(grid=256, mlp_dtype="bfloat16",
+                             grid_dtype="bfloat16", proposal="")),
+    ("g512_production", dict(grid=512, mlp_dtype="bfloat16",
+                             grid_dtype="bfloat16", proposal="")),
+    ("g256_f32_strict_parity", dict(grid=256, mlp_dtype="float32",
+                                    grid_dtype="float32", proposal="")),
+    ("g256_coarse_grid_optin", dict(grid=256, mlp_dtype="bfloat16",
+                                    grid_dtype="bfloat16",
+                                    proposal="coarse_grid")),
+    ("g256_fused_scan_spc8", dict(grid=256, mlp_dtype="bfloat16",
+                                  grid_dtype="bfloat16", proposal="",
+                                  spc=8)),
+]
+
+
+def run_suite():
+    modes = {}
+    for name, kw in SUITE:
+        spc = kw.pop("spc", 1)
+        try:
+            r = time_one(build_conf(**kw), (1, 1), spc=spc)
+        except Exception as exc:
+            modes[name] = {"error": str(exc)[:200]}
+            print(json.dumps({"metric": name, "error": str(exc)[:200]}),
+                  flush=True)
+            kw["spc"] = spc
+            continue
+        kw["spc"] = spc
+        modes[name] = {"rays_per_s": round(r, 1),
+                       "vs_baseline": round(r / BASELINE_RAYS_PER_S, 3)}
+        print(json.dumps({"metric": name, **modes[name]}), flush=True)
+        with open(MODES_PATH, "w") as f:   # flush partial results
+            json.dump(modes, f, indent=1)
+    return modes
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ndjir_tpu.utils.runtime import setup_compilation_cache
@@ -167,6 +223,7 @@ def main():
     setup_compilation_cache()
 
     mesh_env = os.environ.get("NDJIR_BENCH_MESH", "")
+    modes = None
     if mesh_env:
         mesh = tuple(int(v) for v in mesh_env.split(","))
         n_dev = mesh[0] * mesh[1]
@@ -180,15 +237,25 @@ def main():
             "vs_baseline": round(rN / BASELINE_RAYS_PER_S, 3),
         }))
         rays_per_s = per_chip
+    elif os.environ.get("NDJIR_BENCH_SUITE", "1") != "0" \
+            and not any(os.environ.get(k) for k in (
+                "NDJIR_BENCH_GRID", "NDJIR_BENCH_MLP_DTYPE",
+                "NDJIR_BENCH_GRID_DTYPE", "NDJIR_BENCH_PROPOSAL",
+                "NDJIR_BENCH_SPC", "NDJIR_BENCH_CONFIG")):
+        modes = run_suite()
+        rays_per_s = modes.get("g256_production", {}).get("rays_per_s", 0.0)
     else:
         rays_per_s = time_one(build_conf(), (1, 1))
 
-    print(json.dumps({
+    line = {
         "metric": "train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
-    }))
+    }
+    if modes:
+        line["modes"] = modes
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,331 @@
+"""Machine-readable roofline evidence (run on the real chip).
+
+Measures every number docs/ROOFLINE.md cites and writes them to
+docs/roofline_data.json:
+
+  - gather ns/row for the table layouts the step actually uses
+    (f32 32 B z-dup rows, bf16 16 B z-dup rows, bf16 64 B octa rows)
+  - Pallas scatter-add ns/row vs XLA `.at[].add` ns/row
+  - multi-operand lax.sort vs argsort+take at the scatter-prep widths
+    (d=4 z-dup, d=32 octa backward; advisor round-2 finding)
+  - per-component step ablation (delta-ms per disabled component)
+  - `Compiled.cost_analysis()` flops / bytes for the full train step
+
+Every section appends to the JSON as it completes, so a partial run still
+yields committed evidence.  Usage: python scripts/roofline_data.py [section ...]
+Sections: gathers, scatter, sort, ablation, cost_analysis (default: all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ndjir_tpu.utils.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "roofline_data.json")
+STEPS = int(os.environ.get("NDJIR_ROOFLINE_STEPS", "10"))
+
+
+def save(section: str, payload):
+    data = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            data = json.load(f)
+    data[section] = payload
+    data["meta"] = {
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "steps_per_timing": STEPS,
+    }
+    with open(OUT_PATH, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"[saved {section}]", flush=True)
+
+
+def timeit(fn, *args):
+    """Serialized-chain timing: fn(eps, *args) -> array; returns seconds/iter.
+
+    eps (derived from the previous output) serializes iterations through a
+    data dependency so the axon tunnel's async dispatch cannot overlap them;
+    sync is a host transfer of one element.
+    """
+    f = jax.jit(fn)
+    out = f(jnp.float32(0.0), *args)
+    np.asarray(jax.device_get(out).ravel()[:1])
+    eps = out.ravel()[0] * 1e-30
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = f(eps, *args)
+        eps = out.ravel()[0] * 1e-30
+    np.asarray(jax.device_get(out).ravel()[:1])
+    return (time.perf_counter() - t0) / STEPS
+
+
+# ---------------------------------------------------------------------------
+def section_gathers():
+    """ns/row of XLA row gathers at the layouts the step actually uses."""
+    from ndjir_tpu.ops.scatter_pallas import gather_rows
+
+    Gt = 256 ** 3
+    n = 2_000_000
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (n,), 0, Gt)
+    res = {"n_rows": n, "table_rows": Gt}
+    for name, width, dtype in [
+        ("f32_zdup_row_32B", 8, jnp.float32),
+        ("bf16_zdup_row_16B", 8, jnp.bfloat16),
+        ("bf16_octa_row_64B", 32, jnp.bfloat16),
+        ("f32_base_row_16B", 4, jnp.float32),
+        ("bf16_base_row_8B", 4, jnp.bfloat16),
+    ]:
+        table = jax.random.normal(
+            jax.random.PRNGKey(1), (Gt, width)).astype(dtype)
+
+        def f(e, t, i):
+            return gather_rows(t, i).astype(jnp.float32).sum(0) + e
+
+        dt = timeit(f, table, ids)
+        res[name] = {"ns_per_row": round(dt / n * 1e9, 2),
+                     "gb_per_s": round(
+                         n * width * jnp.dtype(dtype).itemsize / dt / 1e9, 1)}
+        print(f"gather {name}: {res[name]}", flush=True)
+    save("gathers", res)
+
+
+def section_scatter():
+    """Pallas sort+one-hot-matmul scatter vs XLA .at[].add, ns/row."""
+    from ndjir_tpu.ops.scatter_pallas import (
+        scatter_add_rows, scatter_add_rows_t)
+
+    Gt = 256 ** 3
+    n = 2_000_000
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (n,), 0, Gt)
+    res = {"n_rows": n, "table_rows": Gt}
+    for d in (8, 32):
+        vals = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
+
+        def f_pallas(e, i, v):
+            return scatter_add_rows_t(i, v + e, Gt)[:, :8].sum()
+
+        def f_xla(e, i, v):
+            return jnp.zeros((Gt, d), jnp.float32).at[i].add(
+                v + e)[:8].sum()
+
+        dtp = timeit(f_pallas, ids, vals)
+        res[f"pallas_d{d}"] = {"ns_per_row": round(dtp / n * 1e9, 2)}
+        print(f"scatter pallas d={d}: {res[f'pallas_d{d}']}", flush=True)
+        if d == 8:  # XLA scatter at d=32 takes minutes; d=8 proves the point
+            dtx = timeit(f_xla, ids, vals)
+            res[f"xla_d{d}"] = {"ns_per_row": round(dtx / n * 1e9, 2)}
+            print(f"scatter xla d={d}: {res[f'xla_d{d}']}", flush=True)
+    save("scatter", res)
+
+
+def section_sort():
+    """Scatter-prep sort: multi-operand lax.sort vs argsort+take, at the
+    z-dup (d=8) and octa-backward (d=32) value widths on the 2.1M-row
+    workload (advisor round-2: the narrow-row measurement may invert at
+    d=32)."""
+    n = 2_100_000
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (n,), 0, 256 ** 3)
+    res = {"n_rows": n}
+    for d in (4, 8, 32):
+        vals = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
+
+        def f_multi(e, i, v):
+            ops = (i,) + tuple(v[:, j] + e for j in range(d))
+            out = jax.lax.sort(ops, num_keys=1)
+            return out[1][:8]
+
+        def f_argsort(e, i, v):
+            perm = jnp.argsort(i)
+            return jnp.take(v + e, perm, axis=0)[:8, 0]
+
+        tm = timeit(f_multi, ids, vals)
+        ta = timeit(f_argsort, ids, vals)
+        res[f"d{d}"] = {"multi_operand_sort_ms": round(tm * 1e3, 2),
+                        "argsort_take_ms": round(ta * 1e3, 2)}
+        print(f"sort d={d}: {res[f'd{d}']}", flush=True)
+    save("sort", res)
+
+
+def _step_ms(overrides, grid=256, grad_only=False):
+    """ms/step of the full train step — or, with grad_only, of the same
+    program minus apply_updates (isolates Adam + NaN-guard + schedules)."""
+    from functools import partial as _partial
+
+    from ndjir_tpu.config import load_config
+    from ndjir_tpu.models.fields import init_model
+    from ndjir_tpu.render.loss import total_loss
+    from ndjir_tpu.render.renderer import make_mc_cdfs
+    from ndjir_tpu.train.optim import init_optimizer
+    from ndjir_tpu.train.trainer import train_step
+
+    conf = load_config("default", overrides=[
+        f"geometric_network.voxel.grid_size={grid}",
+        "precision.mlp_dtype=bfloat16",
+        "precision.grid_dtype=bfloat16"] + overrides)
+    B, R = conf.train.batch_size, conf.train.n_rays
+    key = jax.random.PRNGKey(0)
+    params = init_model(key, conf)
+    opt_state = init_optimizer(params)
+    ks = jax.random.split(key, 2)
+    camloc = jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1))
+    raydir = jax.random.normal(ks[0], (B, R, 3)) - jnp.asarray([0.0, 0.0, 3.0])
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    color_gt = jax.random.uniform(ks[1], (B, R, 3))
+    obj_mask = jnp.ones((B, R, 1), jnp.float32)
+    args = (jnp.float32(0.5), jnp.float32(1.0), jnp.float32(5e-4),
+            jnp.float32(5e-4))
+    cdfs = jax.jit(lambda: make_mc_cdfs(conf, B, R))()
+
+    def sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(jax.device_get(leaf).ravel()[:1])
+
+    if grad_only:
+        @_partial(jax.jit, static_argnames=("conf",), donate_argnums=(0,))
+        def step_fn(p, cl, rd, cg, om, ca, lg, st, conf, cdfs=None):
+            def lossfn(pp):
+                return total_loss(pp, cl, rd, cg, om, ca, lg, conf, step=st,
+                                  cdfs=cdfs)
+            (_, monitors), grads = jax.value_and_grad(
+                lossfn, has_aux=True)(p)
+            # feed grads back as params so the chain serializes like the
+            # real step (donated params; host sees only monitors)
+            p2 = jax.tree_util.tree_map(
+                lambda a, g: a + 0.0 * g.astype(a.dtype), p, grads)
+            return p2, monitors
+
+        params, mon = step_fn(params, camloc, raydir, color_gt, obj_mask,
+                              args[0], args[1], jnp.int32(0), conf, cdfs=cdfs)
+        sync((params, mon))
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            params, mon = step_fn(params, camloc, raydir, color_gt, obj_mask,
+                                  args[0], args[1], jnp.int32(i + 1), conf,
+                                  cdfs=cdfs)
+        sync((params, mon))
+        return (time.perf_counter() - t0) / STEPS * 1e3
+
+    params, opt_state, mon = train_step(
+        params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
+        jnp.int32(0), conf, cdfs=cdfs)
+    sync((params, mon))
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        params, opt_state, mon = train_step(
+            params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
+            jnp.int32(i + 1), conf, cdfs=cdfs)
+    sync((params, mon))
+    return (time.perf_counter() - t0) / STEPS * 1e3
+
+
+def section_ablation():
+    """Component attribution: ms saved when one component is disabled.
+
+    `full` minus a variant bounds that component's cost (fusion means the
+    deltas need not sum to the step time).
+    """
+    variants = {
+        "full": [],
+        "no_ptb_prior": ["train.base_color_prior_weight=0.0"],
+        "same_n_no_up": ["renderer.n_samples0=128", "renderer.n_upsamples=0"],
+        "no_lightp": ["photogrammetric_light_network.use_me=false"],
+        "spp_2": ["renderer.n_thetas=2"],
+        "no_bg": ["background_modeling=false"],
+        "no_eikonal": ["train.eikonal_weight=0.0"],
+        "no_tv": ["train.tv_weight=0.0"],
+        "f32_grid": ["precision.grid_dtype=float32"],
+        "grad_only_no_adam": None,  # same program minus apply_updates
+    }
+    res = {}
+    for name, ov in variants.items():
+        try:
+            ms = _step_ms(ov if ov is not None else [],
+                          grad_only=ov is None)
+        except Exception as exc:  # keep partial evidence
+            res[name] = {"error": str(exc)[:200]}
+            print(f"ablation {name}: ERROR {exc}", flush=True)
+            continue
+        res[name] = {"ms_per_step": round(ms, 1)}
+        if name != "full" and "full" in res:
+            res[name]["delta_vs_full_ms"] = round(
+                res["full"]["ms_per_step"] - ms, 1)
+        print(f"ablation {name}: {res[name]}", flush=True)
+    save("ablation_g256_bf16", res)
+
+
+def section_cost_analysis():
+    """XLA cost analysis (flops, bytes accessed) of the lowered train step,
+    both G=256 and G=512 production configs."""
+    from ndjir_tpu.config import load_config
+    from ndjir_tpu.models.fields import init_model
+    from ndjir_tpu.render.renderer import make_mc_cdfs
+    from ndjir_tpu.train.optim import init_optimizer
+    from ndjir_tpu.train.trainer import train_step
+
+    res = {}
+    for grid in (256, 512):
+        conf = load_config("default", overrides=[
+            f"geometric_network.voxel.grid_size={grid}",
+            "precision.mlp_dtype=bfloat16",
+            "precision.grid_dtype=bfloat16"])
+        B, R = conf.train.batch_size, conf.train.n_rays
+        key = jax.random.PRNGKey(0)
+        params = init_model(key, conf)
+        opt_state = init_optimizer(params)
+        ks = jax.random.split(key, 2)
+        camloc = jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1))
+        raydir = jax.random.normal(ks[0], (B, R, 3)) \
+            - jnp.asarray([0.0, 0.0, 3.0])
+        raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+        color_gt = jax.random.uniform(ks[1], (B, R, 3))
+        obj_mask = jnp.ones((B, R, 1), jnp.float32)
+        args = (jnp.float32(0.5), jnp.float32(1.0), jnp.float32(5e-4),
+                jnp.float32(5e-4))
+        cdfs = jax.jit(lambda: make_mc_cdfs(conf, B, R))()
+        lowered = train_step.lower(
+            params, opt_state, camloc, raydir, color_gt, obj_mask, *args,
+            jnp.int32(0), conf, cdfs=cdfs)
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        keep = {k: v for k, v in ca.items()
+                if k in ("flops", "bytes accessed", "transcendentals",
+                         "optimal_seconds")
+                or k.startswith("bytes accessed")}
+        res[f"g{grid}"] = {k: float(v) for k, v in keep.items()}
+        hbm_gbps = 820.0  # v5e spec sheet
+        if "bytes accessed" in res[f"g{grid}"]:
+            res[f"g{grid}"]["hbm_bound_ms_at_820GBps"] = round(
+                res[f"g{grid}"]["bytes accessed"] / hbm_gbps / 1e6, 1)
+        print(f"cost_analysis g{grid}: {res[f'g{grid}']}", flush=True)
+    save("cost_analysis", res)
+
+
+SECTIONS = {
+    "gathers": section_gathers,
+    "scatter": section_scatter,
+    "sort": section_sort,
+    "ablation": section_ablation,
+    "cost_analysis": section_cost_analysis,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(SECTIONS)
+    for n in names:
+        SECTIONS[n]()
