@@ -12,12 +12,14 @@ then scores:
     the exact SDF lattice) — the DTUeval-style geometry metric;
   - masked PSNR + SSIM on a held-out view.
 
-Writes QUALITY_r02.json at the repo root:
+Writes QUALITY_r03.json at the repo root:
   {"chamfer": ..., "accuracy": ..., "completeness": ..., "psnr_masked": ...,
    "ssim": ..., "epochs": ..., "wall_s": ...}
 
-Env knobs: NDJIR_QUALITY_EPOCHS (default 300), NDJIR_QUALITY_GRID (128),
-NDJIR_QUALITY_OUT (repo_root/QUALITY_r02.json).
+Env knobs: NDJIR_QUALITY_EPOCHS (default 1500), NDJIR_QUALITY_GRID (256),
+NDJIR_QUALITY_RES (image resolution, default 128 - round-2 ran 96),
+NDJIR_QUALITY_VIEWS (default 24), NDJIR_QUALITY_OUT
+(repo_root/QUALITY_r03.json).
 """
 
 from __future__ import annotations
@@ -71,14 +73,16 @@ def main():
     from ndjir_tpu.train import schedules
     from ndjir_tpu.train.trainer import Trainer
 
-    epochs = int(os.environ.get("NDJIR_QUALITY_EPOCHS", "300"))
-    grid = int(os.environ.get("NDJIR_QUALITY_GRID", "128"))
+    epochs = int(os.environ.get("NDJIR_QUALITY_EPOCHS", "1500"))
+    grid = int(os.environ.get("NDJIR_QUALITY_GRID", "256"))
+    res = int(os.environ.get("NDJIR_QUALITY_RES", "128"))
+    views = int(os.environ.get("NDJIR_QUALITY_VIEWS", "24"))
     out_path = os.environ.get("NDJIR_QUALITY_OUT",
-                              os.path.join(REPO, "QUALITY_r02.json"))
-    work = os.environ.get("NDJIR_QUALITY_WORKDIR", "/tmp/ndjir_quality")
+                              os.path.join(REPO, "QUALITY_r03.json"))
+    work = os.environ.get("NDJIR_QUALITY_WORKDIR", "/tmp/ndjir_quality_r3")
     scene = os.path.join(work, "scene")
     if not os.path.exists(os.path.join(scene, "cameras.npz")):
-        make_hard_synthetic_scene(scene, n_views=16, H=96, W=96)
+        make_hard_synthetic_scene(scene, n_views=views, H=res, W=res)
 
     conf = load_config("default", overrides=[
         f"data_path={scene}",
@@ -150,7 +154,8 @@ def main():
                   completeness=round(comp, 6),
                   psnr_masked=round(float(psnr_masked), 3),
                   ssim=round(float(ssim_v), 4),
-                  epochs=epochs, grid=grid, wall_s=round(wall, 1))
+                  epochs=epochs, grid=grid, res=res, views=views,
+                  wall_s=round(wall, 1))
     with open(out_path, "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
