@@ -286,3 +286,55 @@ def test_render_image_golden(conf, params):
     # perceptual-scale tolerance: mean within 1/255, worst pixel within 8/255
     assert np.abs(arr - golden).mean() < 1.0 / 255
     assert np.abs(arr - golden).max() < 8.0 / 255
+
+
+def test_render_chunk_conf_is_canonical(conf, params):
+    """Editing config fields the chunk program never reads (validation
+    downsampling, extraction grid, monitor paths) must NOT recompile the
+    jitted render chunk — recompiles are multi-minute stalls on the real
+    chip (VERDICT r2 weak item 7)."""
+    from ndjir_tpu.config import Config
+    from ndjir_tpu.render.image import _canonical_chunk_conf, render_image
+
+    base = _canonical_chunk_conf(conf)
+    for field, value in [
+        (("valid", "n_down_samples"), 0),
+        (("valid", "epoch_interval"), 7),
+        (("extraction", "grid_size"), 99),
+        (("monitor_base_path",), "/somewhere/else"),
+        (("data_path",), "/other/scene"),
+        (("train", "epoch"), 12345),
+        (("train", "checkpoint_interval_epochs"), 9),
+    ]:
+        data = conf.to_dict()
+        node = data
+        for k in field[:-1]:
+            node = node.setdefault(k, {})
+        node[field[-1]] = value
+        assert _canonical_chunk_conf(Config(data)) == base, field
+        assert hash(_canonical_chunk_conf(Config(data))) == hash(base), field
+
+    # fields the chunk DOES read must still key the cache
+    data = conf.to_dict()
+    data["renderer"]["n_thetas"] = int(data["renderer"]["n_thetas"]) + 1
+    assert _canonical_chunk_conf(Config(data)) != base
+
+    # end-to-end: two renders differing only in unread fields share one
+    # compiled chunk (W large enough that the chunk size P is not clamped
+    # by the image at either downsampling level -> identical chunk shapes)
+    H = W = 48
+    f = 1.2 * W
+    intrinsic = np.array([[[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]],
+                         np.float32)
+    pose = np.eye(4, dtype=np.float32)[None]
+    pose[0, :3, 3] = [0.0, 0.0, 2.5]
+    pose[0, :3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                               np.float32)
+    from ndjir_tpu.render.image import _render_chunk
+    render_image(params, pose, intrinsic, (W, H), conf, lv_gain=1.0)
+    n0 = _render_chunk._cache_size()
+    data = conf.to_dict()
+    data["valid"]["n_down_samples"] = 0
+    data["extraction"] = {"grid_size": 5}
+    render_image(params, pose, intrinsic, (W, H), Config(data), lv_gain=1.0)
+    assert _render_chunk._cache_size() == n0
