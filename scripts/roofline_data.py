@@ -241,18 +241,26 @@ def section_ablation():
     `full` minus a variant bounds that component's cost (fusion means the
     deltas need not sum to the step time).
     """
+    # Each variant is a full remote compile (~10-30 min on the axon tunnel,
+    # which bypasses the local persistent cache), so the set is the minimum
+    # that decomposes the step: perturbed branch, proposal rounds, light
+    # dirs, photogrammetric net, and the optimizer (grad_only isolates
+    # Adam + NaN-guard).  NDJIR_ROOFLINE_FULL_ABLATION=1 adds the rest.
     variants = {
         "full": [],
         "no_ptb_prior": ["train.base_color_prior_weight=0.0"],
         "same_n_no_up": ["renderer.n_samples0=128", "renderer.n_upsamples=0"],
         "no_lightp": ["photogrammetric_light_network.use_me=false"],
         "spp_2": ["renderer.n_thetas=2"],
-        "no_bg": ["background_modeling=false"],
-        "no_eikonal": ["train.eikonal_weight=0.0"],
-        "no_tv": ["train.tv_weight=0.0"],
-        "f32_grid": ["precision.grid_dtype=float32"],
         "grad_only_no_adam": None,  # same program minus apply_updates
     }
+    if os.environ.get("NDJIR_ROOFLINE_FULL_ABLATION"):
+        variants.update({
+            "no_bg": ["background_modeling=false"],
+            "no_eikonal": ["train.eikonal_weight=0.0"],
+            "no_tv": ["train.tv_weight=0.0"],
+            "f32_grid": ["precision.grid_dtype=float32"],
+        })
     res = {}
     for name, ov in variants.items():
         try:
