@@ -325,12 +325,48 @@ def section_cost_analysis():
     save("cost_analysis", res)
 
 
+def section_xprof():
+    """Attempt a jax.profiler trace of 3 train steps (axon tunnel permitting).
+
+    Round-2 finding: streaming xprof breaks over the tunnel; this writes the
+    trace to a local dir instead and records whether ANY artifact landed.
+    If it works, the trace under docs/xprof_trace/ supersedes the ablation
+    attribution."""
+    import glob
+    import shutil
+
+    trace_dir = os.path.join(os.path.dirname(OUT_PATH), "xprof_trace")
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    res = {"trace_dir": "docs/xprof_trace"}
+    try:
+        jax.profiler.start_trace(trace_dir)
+        _step_ms([], grid=256)   # 10 timed steps under the tracer
+        jax.profiler.stop_trace()
+        files = [os.path.relpath(f, trace_dir)
+                 for f in glob.glob(os.path.join(trace_dir, "**", "*"),
+                                    recursive=True)
+                 if os.path.isfile(f)]
+        res["ok"] = any(f.endswith((".xplane.pb", ".trace.json.gz"))
+                        for f in files)
+        res["files"] = files[:20]
+    except Exception as exc:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        res["ok"] = False
+        res["error"] = str(exc)[:300]
+    print(f"xprof: {res}", flush=True)
+    save("xprof", res)
+
+
 SECTIONS = {
     "gathers": section_gathers,
     "scatter": section_scatter,
     "sort": section_sort,
     "ablation": section_ablation,
     "cost_analysis": section_cost_analysis,
+    "xprof": section_xprof,
 }
 
 if __name__ == "__main__":
