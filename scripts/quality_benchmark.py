@@ -95,7 +95,13 @@ def main():
         "train.mask_weight=0.1",
         "renderer.bounding_sphere_radius=0.75",
         "valid.skip=true",
-        "train.checkpoint_interval_epochs=0",
+        # periodic checkpoints + fused-scan dispatch: the axon tunnel can
+        # drop mid-run after ~25 min of sustained traffic; checkpoints let a
+        # retry RESUME (Trainer._maybe_resume) instead of restarting, and
+        # steps_per_call=8 cuts tunnel dispatches 8x (also ~4% faster)
+        "train.checkpoint_interval_epochs=100",
+        "train.keep_checkpoints=2",
+        "train.steps_per_call=8",
     ])
 
     # training is the expensive stage, so it persists a checkpoint before
