@@ -261,8 +261,17 @@ def section_ablation():
             "no_tv": ["train.tv_weight=0.0"],
             "f32_grid": ["precision.grid_dtype=float32"],
         })
+    # resume support: a tunnel wedge kills the process mid-variant; completed
+    # variants are already flushed to the JSON, so a retry skips them
     res = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            res = json.load(f).get("ablation_g256_bf16", {})
+        res = {k: v for k, v in res.items() if "error" not in v}
     for name, ov in variants.items():
+        if name in res:
+            print(f"ablation {name}: cached {res[name]}", flush=True)
+            continue
         try:
             ms = _step_ms(ov if ov is not None else [],
                           grad_only=ov is None)
@@ -275,6 +284,7 @@ def section_ablation():
             res[name]["delta_vs_full_ms"] = round(
                 res["full"]["ms_per_step"] - ms, 1)
         print(f"ablation {name}: {res[name]}", flush=True)
+        save("ablation_g256_bf16", res)
     save("ablation_g256_bf16", res)
 
 
