@@ -54,6 +54,15 @@ def save(section: str, payload):
     print(f"[saved {section}]", flush=True)
 
 
+def load_section(section: str) -> dict:
+    """Resume support: the tunnel wedges mid-run; sections flush after every
+    measurement and a retry skips already-recorded keys."""
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            return json.load(f).get(section, {})
+    return {}
+
+
 def timeit(fn, *args):
     """Serialized-chain timing: fn(eps, *args) -> array; returns seconds/iter.
 
@@ -113,7 +122,8 @@ def section_scatter():
     n = 2_000_000
     key = jax.random.PRNGKey(0)
     ids = jax.random.randint(key, (n,), 0, Gt)
-    res = {"n_rows": n, "table_rows": Gt}
+    res = load_section("scatter")
+    res.update({"n_rows": n, "table_rows": Gt})
     for d in (8, 32):
         vals = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
 
@@ -124,13 +134,17 @@ def section_scatter():
             return jnp.zeros((Gt, d), jnp.float32).at[i].add(
                 v + e)[:8].sum()
 
-        dtp = timeit(f_pallas, ids, vals)
-        res[f"pallas_d{d}"] = {"ns_per_row": round(dtp / n * 1e9, 2)}
-        print(f"scatter pallas d={d}: {res[f'pallas_d{d}']}", flush=True)
-        if d == 8:  # XLA scatter at d=32 takes minutes; d=8 proves the point
+        if f"pallas_d{d}" not in res:
+            dtp = timeit(f_pallas, ids, vals)
+            res[f"pallas_d{d}"] = {"ns_per_row": round(dtp / n * 1e9, 2)}
+            print(f"scatter pallas d={d}: {res[f'pallas_d{d}']}", flush=True)
+            save("scatter", res)
+        if d == 8 and f"xla_d{d}" not in res:
+            # XLA scatter at d=32 takes minutes; d=8 proves the point
             dtx = timeit(f_xla, ids, vals)
             res[f"xla_d{d}"] = {"ns_per_row": round(dtx / n * 1e9, 2)}
             print(f"scatter xla d={d}: {res[f'xla_d{d}']}", flush=True)
+            save("scatter", res)
     save("scatter", res)
 
 
@@ -142,8 +156,11 @@ def section_sort():
     n = 2_100_000
     key = jax.random.PRNGKey(0)
     ids = jax.random.randint(key, (n,), 0, 256 ** 3)
-    res = {"n_rows": n}
+    res = load_section("sort")
+    res["n_rows"] = n
     for d in (4, 8, 32):
+        if f"d{d}" in res:
+            continue
         vals = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.float32)
 
         def f_multi(e, i, v):
@@ -160,6 +177,7 @@ def section_sort():
         res[f"d{d}"] = {"multi_operand_sort_ms": round(tm * 1e3, 2),
                         "argsort_take_ms": round(ta * 1e3, 2)}
         print(f"sort d={d}: {res[f'd{d}']}", flush=True)
+        save("sort", res)
     save("sort", res)
 
 
@@ -297,8 +315,10 @@ def section_cost_analysis():
     from ndjir_tpu.train.optim import init_optimizer
     from ndjir_tpu.train.trainer import train_step
 
-    res = {}
+    res = load_section("cost_analysis")
     for grid in (256, 512):
+        if f"g{grid}" in res:
+            continue
         conf = load_config("default", overrides=[
             f"geometric_network.voxel.grid_size={grid}",
             "precision.mlp_dtype=bfloat16",
@@ -332,6 +352,7 @@ def section_cost_analysis():
             res[f"g{grid}"]["hbm_bound_ms_at_820GBps"] = round(
                 res[f"g{grid}"]["bytes accessed"] / hbm_gbps / 1e6, 1)
         print(f"cost_analysis g{grid}: {res[f'g{grid}']}", flush=True)
+        save("cost_analysis", res)
     save("cost_analysis", res)
 
 
