@@ -210,7 +210,12 @@ def run_suite():
         kw["spc"] = spc
         modes[name] = {"rays_per_s": round(r, 1),
                        "vs_baseline": round(r / BASELINE_RAYS_PER_S, 3)}
-        print(json.dumps({"metric": name, **modes[name]}), flush=True)
+        # full headline-compatible keys so a tunnel drop mid-suite still
+        # leaves a parseable last line for the driver
+        print(json.dumps({"metric": name, "value": modes[name]["rays_per_s"],
+                          "unit": "rays/s",
+                          "vs_baseline": modes[name]["vs_baseline"]}),
+              flush=True)
         with open(MODES_PATH, "w") as f:   # flush partial results
             json.dump(modes, f, indent=1)
     return modes
