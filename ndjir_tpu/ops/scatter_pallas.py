@@ -1,9 +1,10 @@
 """Fast scatter-add for grid-feature gradients (Pallas TPU kernel).
 
 XLA's TPU scatter processes ~one row per 85 ns regardless of sorting/unique
-flags (measured: 2.1M row-updates into a 256^3 x 4 table = 175-225 ms for
-every XLA variant).  The grid-feature backward needs exactly this scatter
-several times per training step, so it dominated the step time.
+flags (committed artifact docs/roofline_data.json `scatter`: 84.8 ns/row
+XLA vs 19.5 ns/row this kernel, 2M d=8 rows into a 256^3-row table).  The
+grid-feature backward needs exactly this scatter several times per training
+step, so it dominated the step time.
 
 Reformulation: sort + slab-local one-hot matmuls.
 
