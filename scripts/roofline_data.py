@@ -271,6 +271,10 @@ def section_ablation():
         "no_lightp": ["photogrammetric_light_network.use_me=false"],
         "spp_2": ["renderer.n_thetas=2"],
         "grad_only_no_adam": None,  # same program minus apply_updates
+        # candidate HBM-traffic reducer: cost_analysis says the step runs at
+        # ~96% of its 169 GB/step traffic bound, so trading head-activation
+        # storage for recompute could WIN, not cost
+        "remat_heads": ["train.remat_heads=true"],
     }
     if os.environ.get("NDJIR_ROOFLINE_FULL_ABLATION"):
         variants.update({
