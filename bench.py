@@ -177,11 +177,17 @@ def time_one(conf, mesh=(1, 1), spc=None):
     return B * R * n_steps / dt
 
 
+T_START = time.perf_counter()
+HEADLINE_MODE = "g256_production"
+
 # The full perf story (VERDICT r2 item 1): headline first so a timeout
 # still records it; every entry states its parity relation to the reference.
 SUITE = [
     ("g256_production", dict(grid=256, mlp_dtype="bfloat16",
                              grid_dtype="bfloat16", proposal="")),
+    ("g256_fused_scan_spc8", dict(grid=256, mlp_dtype="bfloat16",
+                                  grid_dtype="bfloat16", proposal="",
+                                  spc=8)),
     ("g512_production", dict(grid=512, mlp_dtype="bfloat16",
                              grid_dtype="bfloat16", proposal="")),
     ("g256_f32_strict_parity", dict(grid=256, mlp_dtype="float32",
@@ -189,16 +195,45 @@ SUITE = [
     ("g256_coarse_grid_optin", dict(grid=256, mlp_dtype="bfloat16",
                                     grid_dtype="bfloat16",
                                     proposal="coarse_grid")),
-    ("g256_fused_scan_spc8", dict(grid=256, mlp_dtype="bfloat16",
-                                  grid_dtype="bfloat16", proposal="",
-                                  spc=8)),
 ]
 
 
+def _headline_line(modes):
+    """The driver parses the LAST stdout JSON line as the round's headline.
+    Build it from the production mode (or null if that mode errored)."""
+    prod = modes.get(HEADLINE_MODE, {})
+    v = prod.get("rays_per_s")
+    return {
+        "metric": "train_rays_per_s_per_chip",
+        "value": v,
+        "unit": "rays/s",
+        "vs_baseline": round(v / BASELINE_RAYS_PER_S, 3) if v else None,
+    }
+
+
 def run_suite():
+    """Run the perf-story modes under a wall-clock budget.
+
+    Round-3 lesson: the driver runs `python bench.py` under a timeout; the
+    r03 run was killed after mode 3 and the last printed line — the f32
+    strict-parity mode — was recorded as the headline (BENCH_r03.json).  Two
+    defenses: (a) the headline line is RE-EMITTED after every mode so the
+    last complete stdout line is always the production headline, and (b) a
+    budget (NDJIR_BENCH_BUDGET_S, default 420 s from process start) skips
+    remaining modes when the next one may not finish; skips are recorded in
+    BENCH_MODES.json rather than silently dropped.
+    """
+    budget = float(os.environ.get("NDJIR_BENCH_BUDGET_S", "420"))
     modes = {}
+    max_mode_s = 0.0
     for name, kw in SUITE:
+        elapsed = time.perf_counter() - T_START
+        if modes and elapsed + 1.25 * max_mode_s > budget:
+            modes[name] = {"skipped": f"budget ({elapsed:.0f}s elapsed, "
+                                      f"last mode {max_mode_s:.0f}s)"}
+            continue
         spc = kw.pop("spc", 1)
+        t0 = time.perf_counter()
         try:
             r = time_one(build_conf(**kw), (1, 1), spc=spc)
         except Exception as exc:
@@ -206,18 +241,21 @@ def run_suite():
             print(json.dumps({"metric": name, "error": str(exc)[:200]}),
                   flush=True)
             kw["spc"] = spc
+            with open(MODES_PATH, "w") as f:   # record errors too
+                json.dump(modes, f, indent=1)
             continue
+        max_mode_s = max(max_mode_s, time.perf_counter() - t0)
         kw["spc"] = spc
         modes[name] = {"rays_per_s": round(r, 1),
                        "vs_baseline": round(r / BASELINE_RAYS_PER_S, 3)}
-        # full headline-compatible keys so a tunnel drop mid-suite still
-        # leaves a parseable last line for the driver
         print(json.dumps({"metric": name, "value": modes[name]["rays_per_s"],
                           "unit": "rays/s",
                           "vs_baseline": modes[name]["vs_baseline"]}),
               flush=True)
         with open(MODES_PATH, "w") as f:   # flush partial results
             json.dump(modes, f, indent=1)
+        if HEADLINE_MODE in modes and name != HEADLINE_MODE:
+            print(json.dumps(_headline_line(modes)), flush=True)
     return modes
 
 
@@ -248,7 +286,10 @@ def main():
                 "NDJIR_BENCH_GRID_DTYPE", "NDJIR_BENCH_PROPOSAL",
                 "NDJIR_BENCH_SPC", "NDJIR_BENCH_CONFIG")):
         modes = run_suite()
-        rays_per_s = modes.get("g256_production", {}).get("rays_per_s", 0.0)
+        line = _headline_line(modes)
+        line["modes"] = modes
+        print(json.dumps(line))
+        return
     else:
         rays_per_s = time_one(build_conf(), (1, 1))
 
@@ -258,8 +299,6 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
     }
-    if modes:
-        line["modes"] = modes
     print(json.dumps(line))
 
 

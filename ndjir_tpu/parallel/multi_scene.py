@@ -153,11 +153,34 @@ class MultiSceneTrainer:
                 mesh, P(self.plan.names[0], *([None] * (x.ndim - 1))))),
             tree)
 
+    def _gather_for_save(self, tree):
+        """Host-replicated copy of the scene-sharded state for checkpointing.
+
+        save_checkpoint assumes process 0 can device_get every leaf; the
+        stacked params are sharded over the scene axis, so in a multi-host
+        run process 0 holds non-addressable shards — allgather across
+        processes first (single-process runs skip it: device_get on an
+        addressable sharded array already assembles the full value)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return tree
+
     def _maybe_resume(self):
         latest = latest_checkpoint(self.ckpt_dir)
         if latest:
             self.params_s, self.opt_state_s, extra = load_checkpoint(
                 latest, self.params_s, self.opt_state_s)
+            # refuse a resume whose recorded scene list disagrees with this
+            # run's: same-count relaunches would otherwise silently associate
+            # params to the wrong scenes
+            saved = extra.get("scenes")
+            ours = [str(p) for p in self.scene_paths]
+            if saved is not None and list(saved) != ours:
+                raise ValueError(
+                    f"checkpoint {latest} was trained on scenes {saved}, "
+                    f"but this run lists {ours}; refusing to resume "
+                    "(move monitor_base_path or match the scene list)")
             self.params_s = self._shard_state(self.params_s)
             self.opt_state_s = self._shard_state(self.opt_state_s)
             self.start_epoch = int(extra.get("step", 0)) + 1
@@ -298,12 +321,16 @@ class MultiSceneTrainer:
                     and (epoch + 1) % conf.train.checkpoint_interval_epochs
                     == 0):
                 save_checkpoint(
-                    self.ckpt_dir, epoch, self.params_s, self.opt_state_s,
+                    self.ckpt_dir, epoch,
+                    self._gather_for_save(self.params_s),
+                    self._gather_for_save(self.opt_state_s),
                     extra={"scenes": [str(p) for p in self.scene_paths]},
                     keep=conf.train.keep_checkpoints)
         if E > self.start_epoch:
             save_checkpoint(
-                self.ckpt_dir, E - 1, self.params_s, self.opt_state_s,
+                self.ckpt_dir, E - 1,
+                self._gather_for_save(self.params_s),
+                self._gather_for_save(self.opt_state_s),
                 extra={"scenes": [str(p) for p in self.scene_paths]},
                 keep=conf.train.keep_checkpoints)
         if not conf.valid.skip:

@@ -16,10 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
-from jax._src import xla_bridge as _xb  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-_xb._backend_factories.pop("axon", None)
+try:
+    # no supported API exists to drop an already-registered PJRT plugin
+    # (the axon plugin ignores JAX_PLATFORMS once sitecustomize registered
+    # it); best-effort pop of the private factory table, tolerated to fail
+    # on JAX upgrades — jax_platforms=cpu above is the supported half.
+    from jax._src import xla_bridge as _xb  # noqa: E402
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
