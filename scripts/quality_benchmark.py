@@ -16,10 +16,18 @@ Writes QUALITY_r03.json at the repo root:
   {"chamfer": ..., "accuracy": ..., "completeness": ..., "psnr_masked": ...,
    "ssim": ..., "epochs": ..., "wall_s": ...}
 
-Env knobs: NDJIR_QUALITY_EPOCHS (default 1500), NDJIR_QUALITY_GRID (256),
+Round 4: the benchmark scene defaults to v2 (make_hard_synthetic_scene_v2) —
+same hard geometry/texture/shadows, but image formation uses the framework's
+OWN physical model at converged sample counts (broad env light + Filament GGX
++ SDF soft visibility), so the score measures the framework rather than the
+v1 scene's model mismatch (single directional light + Blinn-Phong, which is
+outside the forward family; quantified by scripts/quality_diagnosis.py).
+NDJIR_QUALITY_SCENE=v1 keeps the old scene.
+
+Env knobs: NDJIR_QUALITY_EPOCHS (default 2000), NDJIR_QUALITY_GRID (256),
 NDJIR_QUALITY_RES (image resolution, default 128 - round-2 ran 96),
 NDJIR_QUALITY_VIEWS (default 24), NDJIR_QUALITY_OUT
-(repo_root/QUALITY_r03.json).
+(repo_root/QUALITY_r04.json), NDJIR_QUALITY_SCENE (v2 | v1).
 """
 
 from __future__ import annotations
@@ -66,23 +74,30 @@ def main():
 
     from ndjir_tpu.config import load_config
     from ndjir_tpu.data.dataset import IDRDataset
-    from ndjir_tpu.data.synthetic import make_hard_synthetic_scene
+    from ndjir_tpu.data.synthetic import (
+        make_hard_synthetic_scene,
+        make_hard_synthetic_scene_v2,
+    )
     from ndjir_tpu.eval.image import psnr, ssim
     from ndjir_tpu.extract.mc import compute_sdf_volume, mesh_from_volume
     from ndjir_tpu.render.image import render_image
     from ndjir_tpu.train import schedules
     from ndjir_tpu.train.trainer import Trainer
 
-    epochs = int(os.environ.get("NDJIR_QUALITY_EPOCHS", "1500"))
+    epochs = int(os.environ.get("NDJIR_QUALITY_EPOCHS", "2000"))
     grid = int(os.environ.get("NDJIR_QUALITY_GRID", "256"))
     res = int(os.environ.get("NDJIR_QUALITY_RES", "128"))
     views = int(os.environ.get("NDJIR_QUALITY_VIEWS", "24"))
+    scene_kind = os.environ.get("NDJIR_QUALITY_SCENE", "v2")
     out_path = os.environ.get("NDJIR_QUALITY_OUT",
-                              os.path.join(REPO, "QUALITY_r03.json"))
-    work = os.environ.get("NDJIR_QUALITY_WORKDIR", "/tmp/ndjir_quality_r3")
+                              os.path.join(REPO, "QUALITY_r04.json"))
+    work = os.environ.get("NDJIR_QUALITY_WORKDIR",
+                          f"/tmp/ndjir_quality_r4_{scene_kind}")
     scene = os.path.join(work, "scene")
     if not os.path.exists(os.path.join(scene, "cameras.npz")):
-        make_hard_synthetic_scene(scene, n_views=views, H=res, W=res)
+        make_scene = (make_hard_synthetic_scene_v2 if scene_kind == "v2"
+                      else make_hard_synthetic_scene)
+        make_scene(scene, n_views=views, H=res, W=res)
 
     conf = load_config("default", overrides=[
         f"data_path={scene}",
@@ -159,7 +174,7 @@ def main():
     result = dict(chamfer=round(chamfer, 6), accuracy=round(acc, 6),
                   completeness=round(comp, 6),
                   psnr_masked=round(float(psnr_masked), 3),
-                  ssim=round(float(ssim_v), 4),
+                  ssim=round(float(ssim_v), 4), scene=scene_kind,
                   epochs=epochs, grid=grid, res=res, views=views,
                   wall_s=round(wall, 1))
     with open(out_path, "w") as f:

@@ -58,7 +58,7 @@ def main():
     from ndjir_tpu.train import schedules
     from ndjir_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
 
-    work = os.environ.get("NDJIR_QUALITY_WORKDIR", "/tmp/ndjir_quality_r3")
+    work = os.environ.get("NDJIR_QUALITY_WORKDIR", "/tmp/ndjir_quality_r4_v1")
     scene = os.path.join(work, "scene")
     grid = int(os.environ.get("NDJIR_QUALITY_GRID", "256"))
     conf = load_config("default", overrides=[
