@@ -359,11 +359,7 @@ def geometric_apply_corners(params: Params, x: jax.Array, corners: jax.Array,
     corner tensor routes table cotangents through the caller's shared
     gather.  Numerically identical to :func:`geometric_apply` (same helpers,
     same op order)."""
-    from ndjir_tpu.ops.grid import (
-        voxel_interp_corners,
-        voxel_last_z_mask,
-        voxel_tv_corners,
-    )
+    from ndjir_tpu.ops.grid import voxel_interp_corners, voxel_tv_corners
 
     g = conf.geometric_network
     r = conf.renderer.bounding_sphere_radius
@@ -375,10 +371,8 @@ def geometric_apply_corners(params: Params, x: jax.Array, corners: jax.Array,
     sdf, feature, gain = _geometric_mlp(params, pe_x, vfeat, conf)
     if with_tv:
         octa = corners.ndim == x.ndim and corners.shape[-1] == 8 * F.shape[-1]
-        last_z = None if octa else voxel_last_z_mask(
-            x, F.shape, (-r,) * 3, (r,) * 3)
         return sdf, feature, gain, voxel_tv_corners(corners, x.dtype, tv_sym,
-                                                    octa=octa, last_z=last_z)
+                                                    octa=octa)
     return sdf, feature, gain
 
 

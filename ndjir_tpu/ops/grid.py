@@ -125,55 +125,13 @@ def use_zdup_layout(gshape, dtype=jnp.float32) -> bool:
     return Gx * Gy * Gz * 2 * D * itemsize <= _ZDUP_MAX_BYTES
 
 
-# Pair-window z-dup table (round-4 redesign).
-#
-# The first formulation built the (G^3, 2D) z-paired table as
-# concatenate([f, z-shifted f], axis=-1): every op in that chain runs on
-# 4-8-lane arrays that Mosaic pads to 128 lanes, so the standalone build
-# measured 233 ms at G=256 — and worse, XLA rewrites gather(concatenate(...))
-# into per-slice NARROW gathers, so in the training step the wide-row table
-# never materialized at all and every "one wide row" query silently
-# degenerated to per-corner narrow gathers (~95 ns/point observed vs the
-# 7.6-15 ns/row a materialized table delivers; docs/roofline_data.json).
-# A conv-based one-hot build fixed both on paper but does not compile on
-# this TPU toolchain (remote tpu_compile_helper exit 1).
-#
-# The fix: a cell (x, y, z<=Gz-2) and its z+1 neighbour are ADJACENT in the
-# flat (G^3*D,) buffer, so a z-pair row is just a 2D-wide WINDOW at offset
-# m*D.  Materializing every window at stride D = two 1-D copies of the flat
-# buffer (even-aligned windows = the buffer itself reshaped; odd-aligned =
-# the buffer shifted by D) — pure wide memcpys, no narrow-lane ops, nothing
-# for the gather-of-concat rewrite to degenerate (each row is contiguous in
-# the source either way).  Row lookup: window m lives at row
-# (m & 1) * G^3/2 + (m >> 1).  The z == Gz-1 boundary (the old layout's
-# duplicated last slice) is handled in the CONSUMERS: ids clamp the window
-# start to z <= Gz-2 and the z-weights/TV select the second half there
-# (exact parity with the 8-gather path; see voxel_interp_corners).
-
-def _pair_num_half_rows(n_cells: int) -> int:
-    """Rows per parity block: H = ceil(n_cells / 2); the table has 2H rows."""
-    return (n_cells + 1) // 2
-
-
 def _voxel_zdup_flat(feature: jax.Array) -> jax.Array:
-    """(G,G,G,D) -> (2H, 2D) pair-window table, H = ceil(G^3/2): row r < H
-    holds cells (2r, 2r+1); row H + r holds cells (2r+1, 2r+2).  Zero-padded
-    past the last cell (those positions are only reachable from the
-    never-queried z == Gz-1 window starts, and zeros keep the adjoint
-    exact)."""
-    D = feature.shape[-1]
-    n = feature.size // D
-    H = _pair_num_half_rows(n)
-    flat = feature.reshape(-1)
-    z = jnp.zeros((D,), feature.dtype)
-    even_src = [flat] + ([z] if n % 2 else [])
-    odd_src = [flat[D:], z] + ([z] if n % 2 else [])
-    return jnp.concatenate(even_src + odd_src).reshape(2 * H, 2 * D)
-
-
-def _pair_row_ids(m: jax.Array, n_cells: int) -> jax.Array:
-    """Flat cell id m (z pre-clamped to Gz-2) -> pair-window-table row id."""
-    return (m & 1) * _pair_num_half_rows(n_cells) + (m >> 1)
+    """(G,G,G,D) -> (G^3, 2D) z-paired table: row z holds (z, z+1) features.
+    XLA CSE dedupes this build across every query site in a step."""
+    return jnp.concatenate(
+        [feature,
+         jnp.concatenate([feature[:, :, 1:], feature[:, :, -1:]], axis=2)],
+        axis=-1).reshape(-1, 2 * feature.shape[-1])
 
 
 # The octa layout packs ALL 8 cell corners into one 8D-wide row, so a
@@ -196,20 +154,8 @@ def _voxel_octa_flat(feature: jax.Array) -> jax.Array:
     """(G,G,G,D) -> (G^3, 8D): row (x,y,z) holds the features of cells
     (x+dx, y+dy, z+dz), channel block c = dx*4 + dy*2 + dz; the +1 neighbour
     duplicates the last slice per axis (matching the clamped-corner
-    semantics of :func:`_corners`).
-
-    Consumers must wrap the result in ``jax.lax.optimization_barrier``
-    before gathering: XLA otherwise rewrites gather(concatenate(...)) into
-    per-corner NARROW gathers, so the wide-row table never materializes and
-    every "one wide row" query silently degenerates to 8 narrow gathers
-    (~95 ns/point observed in-step, the round-3 silent-degeneration bug).
-    With the barrier the build materializes in ~12 ms at G=256 bf16 and the
-    gather runs at the prebuilt-table rate (build+524k-row gather 28.8 ms
-    vs 16.5 ms prebuilt; docs/probe_build_variants.json `concat` vs
-    `prebuilt` — also faster than a wide-view build + stack/reshape
-    interleave, 34.4 ms, and the conv / Pallas builds do not compile on
-    this toolchain).  Autodiff of this build routes the duplicated-row
-    cotangents back to the base table (shifted adds)."""
+    semantics of :func:`_corners`).  Autodiff of this build routes the
+    duplicated-row cotangents back to the base table (shifted adds)."""
     def dup(f, axis):
         shifted = jnp.concatenate(
             [jax.lax.slice_in_dim(f, 1, f.shape[axis], axis=axis),
@@ -258,25 +204,15 @@ def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
 
 
 def _fold_zdup_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
-    """(2D, G^3) f32 pair-window-row cotangent (rows in the parity order of
-    :func:`_voxel_zdup_flat`) -> (Gx, Gy, Gz, D) base-table cotangent.
-
-    Cell m receives the first-half cotangent of its own window row plus the
-    second-half cotangent of window m-1's row; with rows split into the
-    even-start block E and odd-start block O, even cells 2k get
-    E[:D, k] + O[D:, k-1] and odd cells 2k+1 get E[D:, k] + O[:D, k]
-    (zero-padded tail positions drop, exactly as in the build's adjoint).
-    All adds run on (D, H) f32 wide-lane arrays."""
+    """(2D, G^3) f32 z-dup-row cotangent -> (Gx, Gy, Gz, D) base-table
+    cotangent: the adjoint of :func:`_voxel_zdup_flat`, folded directly in
+    the scatter kernel's transposed f32 layout (skips the full-table
+    transpose + dtype roundtrip that autodiff-of-concat would pay — at
+    G=512 bf16 that is a ~2 GB HBM pass)."""
     Gx, Gy, Gz, D = gshape
-    n = Gx * Gy * Gz
-    H = _pair_num_half_rows(n)
-    c = cot_t.reshape(2 * D, 2 * H)
-    E, O = c[:, :H], c[:, H:]
-    ev = E[:D] + jnp.concatenate(
-        [jnp.zeros_like(O[D:, :1]), O[D:, :-1]], axis=1)
-    od = E[D:] + O[:D]
-    cells = jnp.stack([ev, od], axis=-1).reshape(D, 2 * H)[:, :n]
-    return jnp.transpose(cells, (1, 0)).reshape(Gx, Gy, Gz, D)
+    c = cot_t.reshape(2 * D, Gx, Gy, Gz)
+    c = _fold_dup_axis(c, 3)
+    return jnp.transpose(c, (1, 2, 3, 0))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -301,8 +237,7 @@ def _gather_zdup_bwd(gshape, ids, g):
     Gx, Gy, Gz, D = gshape
     flat_ids = ids.reshape(-1)
     flat_g = g.reshape(-1, 2 * D)
-    n_rows = 2 * _pair_num_half_rows(Gx * Gy * Gz)
-    cot_t = scatter_add_rows_t(flat_ids, flat_g, n_rows)
+    cot_t = scatter_add_rows_t(flat_ids, flat_g, Gx * Gy * Gz)
     return _fold_zdup_cotangent(cot_t, gshape).astype(g.dtype), None
 
 
@@ -315,10 +250,19 @@ def gather_rows_octa(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
     BASE table (Gx, Gy, Gz, D).
 
     Forward: builds the duplicated octa table (XLA CSE dedupes the build
-    across all query sites in a step; the optimization barrier forces the
-    wide-row table to actually materialize — see :func:`_voxel_octa_flat`)
-    and gathers.  Backward: transposed Pallas scatter-add into the
-    kernel-native (8D, G^3) layout + the direct
+    across all query sites in a step) and gathers; the optimization barrier
+    is REQUIRED — without it XLA rewrites gather(concatenate(...)) into
+    per-corner NARROW gathers, the wide-row table never materializes, and
+    every query silently degenerates to 8 narrow gathers (~95 ns/point
+    in-step; the round-3 silent-degeneration bug).  With the barrier the
+    build materializes in ~12 ms at G=256 bf16 and 524k rows gather at the
+    prebuilt-table rate (28.8 ms total vs 16.5 prebuilt;
+    docs/probe_build_variants.json — conv / Pallas / wide-view builds and a
+    pair-window reformulation were all probed 2026-08-20 and lost: the
+    first two crash the remote compile helper, the last trips a tile-padded
+    bf16[G,G,G,D]{T(8,128)} 32 GiB copy at G=512 because it must reshape
+    the 4-D param to 1-D inside the program).  Backward: transposed Pallas
+    scatter-add into the kernel-native (8D, G^3) layout + the direct
     :func:`_fold_octa_cotangent` adjoint — no (G^3, 8D) transpose pass and
     no staged bf16 concat-VJP fold.
     """
@@ -390,12 +334,9 @@ def voxel_tv_octa(f: jax.Array, dtype, sym_backward: bool = True
 
 def voxel_zdup_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
                    vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
-    """(4, *x.shape[:-1]) int32 row ids into the pair-window table, in
-    (x0y0, x0y1, x1y0, x1y1) order.  The window start z is clamped to
-    Gz-2 (so the window never crosses a cell-column boundary); the
-    consumers select the second half with weight 1 when the true floor
-    corner was Gz-1.  Integer (non-differentiable) by construction — safe
-    to compute outside any vjp."""
+    """(4, *x.shape[:-1]) int32 row ids into the z-paired table, in
+    (x0y0, x0y1, x1y0, x1y1) order.  Integer (non-differentiable) by
+    construction — safe to compute outside any vjp."""
     Gx, Gy, Gz, _ = gshape
     dtype = x.dtype
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
@@ -404,26 +345,14 @@ def voxel_zdup_ids(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
     i0 = xyz0.astype(jnp.int32)
     i1 = xyz1.astype(jnp.int32)
     sy, sx = Gz, Gy * Gz
-    iz = jnp.minimum(i0[..., 2], Gz - 2)
+    iz = i0[..., 2]
     ids = []
     for cx in range(2):
         ix = (i0 if cx == 0 else i1)[..., 0]
         for cy in range(2):
             iy = (i0 if cy == 0 else i1)[..., 1]
-            ids.append(_pair_row_ids(ix * sx + iy * sy + iz, Gx * Gy * Gz))
+            ids.append(ix * sx + iy * sy + iz)
     return jnp.stack(ids, axis=0)
-
-
-def voxel_last_z_mask(x: jax.Array, gshape, vmin: Vec3 = DEFAULT_MIN,
-                      vmax: Vec3 = DEFAULT_MAX) -> jax.Array:
-    """(..., 1) bool: the query's floor z corner clamps to Gz-1, i.e. its
-    pair-window row starts one cell early (see voxel_zdup_ids)."""
-    Gx, Gy, Gz, _ = gshape
-    dtype = x.dtype
-    g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
-    xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
-    z0 = jnp.clip(jnp.floor(xyz[..., 2:3]), 0.0, Gz - 1.0)
-    return z0 >= Gz - 1
 
 
 def voxel_gather_multi(x_list, feature: jax.Array,
@@ -479,13 +408,8 @@ def voxel_interp_corners(x: jax.Array, f: jax.Array, gshape,
     xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))
     xyz0, xyz1 = _corners(xyz, g1)
     w0, w1 = _weights(xyz, xyz0, xyz1, weight)
-    # pair-window boundary: when the floor corner clamps to Gz-1 the window
-    # starts one cell early (voxel_zdup_ids), and the exact value f(Gz-1)
-    # lives in the SECOND half — weight it 1 (parity: the 8-gather path's
-    # w0 + w1 = 1 collapse onto the duplicated corner)
-    last = xyz0[..., 2:3] >= Gz - 1
-    wz0 = jnp.where(last, jnp.zeros_like(w0[..., 2:3]), w0[..., 2:3])
-    wz1 = jnp.where(last, jnp.ones_like(w1[..., 2:3]), w1[..., 2:3])
+    wz0 = w0[..., 2:3]
+    wz1 = w1[..., 2:3]
     w = jnp.stack([w0[..., 0] * w0[..., 1], w0[..., 0] * w1[..., 1],
                    w1[..., 0] * w0[..., 1], w1[..., 0] * w1[..., 1]], axis=0)
     pair = wz0 * f[..., :D] + wz1 * f[..., D:]
@@ -493,28 +417,19 @@ def voxel_interp_corners(x: jax.Array, f: jax.Array, gshape,
 
 
 def voxel_tv_corners(f: jax.Array, dtype, sym_backward: bool = True,
-                     octa: bool = False, last_z=None) -> jax.Array:
-    """Cell TV map from pre-gathered pair-window corners f (4, ..., 2D) —
-    the same four corners the interpolation reads (000, 001, 010, 100) — or,
+                     octa: bool = False) -> jax.Array:
+    """Cell TV map from pre-gathered z-paired corners f (4, ..., 2D) — the
+    same four corners the interpolation reads (000, 001, 010, 100) — or,
     with ``octa=True``, from octa rows f (..., 8D).
-    Identical semantics to ops.tv_loss.tv_loss_voxel.
-
-    ``last_z`` ((..., 1) bool, from :func:`voxel_last_z_mask`) marks queries
-    whose floor z corner clamps to Gz-1: there the window starts a cell
-    early, so the z0-corner values live in the SECOND window half (making
-    the z-difference exactly 0, as the old duplicated-slice layout did)."""
+    Identical semantics to ops.tv_loss.tv_loss_voxel."""
     from ndjir_tpu.ops.tv_loss import _tv_sqrt
 
     if octa:
         return voxel_tv_octa(f, dtype, sym_backward)
     D = f.shape[-1] // 2
-    # rows are (x0y0, x0y1, x1y0, x1y1) with the z pair packed along features
+    # rows are (x0y0, x0y1, x1y0, x1y1) with z pair packed along features
     f000, f001, f010, f100 = f[0, ..., :D], f[0, ..., D:], f[1, ..., :D], \
         f[2, ..., :D]
-    if last_z is not None:
-        f000 = jnp.where(last_z, f[0, ..., D:], f000)
-        f010 = jnp.where(last_z, f[1, ..., D:], f010)
-        f100 = jnp.where(last_z, f[2, ..., D:], f100)
     # TV differences in f32 even for bf16 tables (forward differences of
     # near-equal values cancel catastrophically in bf16)
     f000, f001, f010, f100 = (a.astype(dtype)
@@ -592,9 +507,7 @@ def query_voxel_and_tv(x: jax.Array, feature: jax.Array,
     if use_zdup_layout(feature.shape, feature.dtype):
         (f,) = voxel_gather_multi([x], feature, vmin, vmax)
         interp = voxel_interp_corners(x, f, feature.shape, vmin, vmax, weight)
-        return interp, voxel_tv_corners(
-            f, dtype, sym_backward,
-            last_z=voxel_last_z_mask(x, feature.shape, vmin, vmax))
+        return interp, voxel_tv_corners(f, dtype, sym_backward)
 
     g1 = jnp.asarray([Gx - 1, Gy - 1, Gz - 1], dtype)
     xyz = _to_grid(x, g1, jnp.asarray(vmin, dtype), jnp.asarray(vmax, dtype))

@@ -187,6 +187,14 @@ def pb_render(params, x_fg, t_fg, x_bg, t_bg, camloc, raydir, mask,
         _, feature_ptb, _ = geometric_apply(
             params["geometric-network"], x_ptb, conf)
 
+    # Diagnostic knob (scripts/roofline_data.py `detach_normals` ablation):
+    # stop-grad the spatial SDF gradient so the backward pass drops the
+    # entire second-order chain (d grad_x / d params through the gather +
+    # MLP).  NOT a training mode — eikonal and normal-dependent shading
+    # gradients vanish; it exists to measure what double-backward costs.
+    if conf.train.get("debug_detach_normals", False):
+        grad_x_fg = jax.lax.stop_gradient(grad_x_fg)
+
     # NeuS section-based alpha with annealed iter_cos (renderer.py:55-67)
     car = jnp.asarray(cos_anneal_ratio, x_fg.dtype)
     true_cos = jnp.sum(raydir_r * grad_x_fg, axis=-1, keepdims=True)

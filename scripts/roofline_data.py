@@ -275,12 +275,21 @@ def section_ablation():
         # ~96% of its 169 GB/step traffic bound, so trading head-activation
         # storage for recompute could WIN, not cost
         "remat_heads": ["train.remat_heads=true"],
+        # round-4 decomposition of the ~140 ms block the above leave
+        # unattributed (the pair-window/barrier gather fix was a wash —
+        # BENCH 2026-08-20: 9592 vs 9584 rays/s):
+        # table-size-dependent costs (gather locality, build, scatter,
+        # fold, table Adam) — same program shape, negligible table
+        "tiny_grid": ["geometric_network.voxel.grid_size=32"],
+        # the entire second-order chain (d grad_x / d params through
+        # gather + MLP): eikonal + normal-dependent shading backward
+        "detach_normals": ["train.debug_detach_normals=true"],
+        "no_bg": ["background_modeling=false"],
+        "no_tv": ["train.tv_weight=0.0"],
     }
     if os.environ.get("NDJIR_ROOFLINE_FULL_ABLATION"):
         variants.update({
-            "no_bg": ["background_modeling=false"],
             "no_eikonal": ["train.eikonal_weight=0.0"],
-            "no_tv": ["train.tv_weight=0.0"],
             "f32_grid": ["precision.grid_dtype=float32"],
         })
     # resume support: a tunnel wedge kills the process mid-variant; completed
