@@ -158,6 +158,14 @@ def main():
                        gt[None].transpose(0, 3, 1, 2),
                        mask=m3[None].transpose(0, 3, 1, 2))
     ssim_v = ssim(pred, gt)
+    # Full-image SSIM is ill-conditioned on this benchmark: ~60% of the
+    # image is a flat 0.04 background whose GT windows have ~zero variance,
+    # so any prediction noise there collapses the per-window score (the
+    # round-3 "resolution-dependent SSIM drop": more background windows at
+    # higher res).  ssim_obj composites the prediction onto the GT
+    # background inside the mask — the standard masked-SSIM protocol —
+    # and scores the object structure the benchmark is actually about.
+    ssim_obj = ssim(np.where(m3, pred, gt), gt)
 
     # geometry: extracted mesh vs analytic GT mesh
     vol = compute_sdf_volume(params, conf, 256)
@@ -174,7 +182,8 @@ def main():
     result = dict(chamfer=round(chamfer, 6), accuracy=round(acc, 6),
                   completeness=round(comp, 6),
                   psnr_masked=round(float(psnr_masked), 3),
-                  ssim=round(float(ssim_v), 4), scene=scene_kind,
+                  ssim=round(float(ssim_v), 4),
+                  ssim_obj=round(float(ssim_obj), 4), scene=scene_kind,
                   epochs=epochs, grid=grid, res=res, views=views,
                   wall_s=round(wall, 1))
     with open(out_path, "w") as f:
