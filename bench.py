@@ -5,13 +5,14 @@ Baseline: the reference's derived A100 throughput of ~4.1k rays/s at the
 default workload (B=4, R=512, 128 fg + 32 bg samples, 2x128 light dirs;
 BASELINE.md).  The benchmarked step is the same default-config workload.
 
-Default run = the FULL perf story: five modes in one invocation
-(G=256 production bf16, G=256 f32 strict parity, G=512 production — the
-reference's true default grid, G=256 + coarse_grid proposal opt-in, and the
-fused 8-step scan path), each printed as its own JSON line as it completes
-and folded into the final headline line's "modes" field.  Partial results
-are flushed to BENCH_MODES.json after every mode, so a timeout still leaves
-a committed record.  NDJIR_BENCH_SUITE=0 runs only the single headline mode.
+Default run = the FULL perf story (see SUITE below): production modes at
+G=256/G=512, the per-step-dispatch continuity row, the lanczos G=512
+baseline-config twin, batch-scaling rows (x2/x4/x8), the reference's
+reduced-spp presets, f32 strict parity, and the coarse-grid proposal
+opt-in.  Each mode prints its own JSON line as it completes and is MERGED
+into BENCH_MODES.json (rows not re-measured this run keep their prior
+rev-stamped measurement), so a timeout still leaves a committed record.
+NDJIR_BENCH_SUITE=0 runs only the single headline mode.
 
 Env knobs (single-mode runs):
   NDJIR_BENCH_GRID      grid size (default 256; 512 is the reference default
@@ -43,12 +44,13 @@ MODES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def build_conf(mesh=(1, 1), grid=None, mlp_dtype=None, grid_dtype=None,
-               proposal=None):
+               proposal=None, config=None, batch_mult=1):
     from ndjir_tpu.config import load_config
 
     grid = grid if grid is not None \
         else int(os.environ.get("NDJIR_BENCH_GRID", "256"))
-    config = os.environ.get("NDJIR_BENCH_CONFIG", "default")
+    config = config if config is not None \
+        else os.environ.get("NDJIR_BENCH_CONFIG", "default")
     # bf16 MXU with f32 accumulation is the production TPU precision
     # (loss parity to ~3e-4); float32 for strict parity.
     mlp_dtype = mlp_dtype if mlp_dtype is not None \
@@ -74,7 +76,14 @@ def build_conf(mesh=(1, 1), grid=None, mlp_dtype=None, grid_dtype=None,
         else os.environ.get("NDJIR_BENCH_PROPOSAL", "")
     if proposal:
         overrides.append(f"renderer.proposal_method={proposal}")
-    return load_config(config, overrides=overrides)
+    conf = load_config(config, overrides=overrides)
+    # batch scaling rows (VERDICT r4 item 6): the reference's own LR rule
+    # scales linearly with B*R (reference python/solver.py:24-27), so larger
+    # per-chip batches are reference-sanctioned; rays/epoch is unchanged.
+    if batch_mult != 1:
+        conf = load_config(config, overrides=overrides + [
+            f"train.batch_size={conf.train.batch_size * batch_mult}"])
+    return conf
 
 
 def time_one(conf, mesh=(1, 1), spc=None):
@@ -182,20 +191,73 @@ HEADLINE_MODE = "g256_production"
 
 # The full perf story (VERDICT r2 item 1): headline first so a timeout
 # still records it; every entry states its parity relation to the reference.
+#
+# Round 5: the headline mode uses the PRODUCTION dispatch configuration —
+# train.steps_per_call=8 (the fused-scan path the quality benchmark trains
+# with).  It is parity-exact (identical per-step math and updates; only the
+# host dispatch granularity changes).  Rounds 2-4 measured the headline with
+# per-step dispatch; that configuration is kept as its own row
+# (g256_per_step_dispatch) so cross-round comparisons stay honest.
 SUITE = [
     ("g256_production", dict(grid=256, mlp_dtype="bfloat16",
-                             grid_dtype="bfloat16", proposal="")),
-    ("g256_fused_scan_spc8", dict(grid=256, mlp_dtype="bfloat16",
-                                  grid_dtype="bfloat16", proposal="",
-                                  spc=8)),
+                             grid_dtype="bfloat16", proposal="", spc=8)),
+    ("g256_per_step_dispatch", dict(grid=256, mlp_dtype="bfloat16",
+                                    grid_dtype="bfloat16", proposal="")),
     ("g512_production", dict(grid=512, mlp_dtype="bfloat16",
-                             grid_dtype="bfloat16", proposal="")),
+                             grid_dtype="bfloat16", proposal="", spc=8)),
+    # like-for-like with the A100 baseline derivation: the reference's
+    # custom-dataset recipe runs lanczos_voxel at G=512
+    # (reference config/custom.yaml:19-20; BASELINE.md)
+    ("g512_lanczos_baseline_cfg", dict(config="custom", grid=512,
+                                       mlp_dtype="bfloat16",
+                                       grid_dtype="bfloat16", proposal="",
+                                       spc=8)),
+    # single-chip batch throughput (VERDICT r4 item 6): B*R x4 / x8 / x2
+    ("g256_batch4x", dict(grid=256, mlp_dtype="bfloat16",
+                          grid_dtype="bfloat16", proposal="", spc=8,
+                          batch_mult=4)),
+    ("g256_batch8x", dict(grid=256, mlp_dtype="bfloat16",
+                          grid_dtype="bfloat16", proposal="", spc=8,
+                          batch_mult=8)),
+    ("g256_batch2x", dict(grid=256, mlp_dtype="bfloat16",
+                          grid_dtype="bfloat16", proposal="", spc=8,
+                          batch_mult=2)),
+    # reference-sanctioned reduced-spp presets (n_thetas 4 / 2 vs 8 and
+    # prior weights 0 — semantics-changing opt-ins the reference itself
+    # ships as config/no_prior_varying_spps{032,008}.yaml)
+    ("spps032_g256", dict(config="no_prior_varying_spps032", grid=256,
+                          mlp_dtype="bfloat16", grid_dtype="bfloat16",
+                          proposal="", spc=8)),
+    ("spps008_g256", dict(config="no_prior_varying_spps008", grid=256,
+                          mlp_dtype="bfloat16", grid_dtype="bfloat16",
+                          proposal="", spc=8)),
     ("g256_f32_strict_parity", dict(grid=256, mlp_dtype="float32",
                                     grid_dtype="float32", proposal="")),
     ("g256_coarse_grid_optin", dict(grid=256, mlp_dtype="bfloat16",
                                     grid_dtype="bfloat16",
                                     proposal="coarse_grid")),
 ]
+
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _load_modes():
+    if os.path.exists(MODES_PATH):
+        try:
+            with open(MODES_PATH) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    return {}
 
 
 def _headline_line(modes):
@@ -224,30 +286,46 @@ def run_suite():
     BENCH_MODES.json rather than silently dropped.
     """
     budget = float(os.environ.get("NDJIR_BENCH_BUDGET_S", "420"))
-    modes = {}
+    # MERGE into the existing artifact (VERDICT r4 item 2): rows a
+    # budget-skip or error doesn't re-measure keep their prior measurement;
+    # every measured row is stamped with the git rev + date it was taken at.
+    modes = _load_modes()
+    rev = _git_rev()
+    date = time.strftime("%Y-%m-%d")
     max_mode_s = 0.0
+    ran_any = False
     for name, kw in SUITE:
         elapsed = time.perf_counter() - T_START
-        if modes and elapsed + 1.25 * max_mode_s > budget:
-            modes[name] = {"skipped": f"budget ({elapsed:.0f}s elapsed, "
-                                      f"last mode {max_mode_s:.0f}s)"}
+        if ran_any and elapsed + 1.25 * max_mode_s > budget:
+            note = (f"budget ({elapsed:.0f}s elapsed, "
+                    f"last mode {max_mode_s:.0f}s)")
+            if name in modes and "rays_per_s" in modes[name]:
+                modes[name]["skipped_this_run"] = note   # keep prior row
+            else:
+                modes[name] = {"skipped": note}
             continue
+        kw = dict(kw)
         spc = kw.pop("spc", 1)
         t0 = time.perf_counter()
+        ran_any = True
         try:
             r = time_one(build_conf(**kw), (1, 1), spc=spc)
         except Exception as exc:
-            modes[name] = {"error": str(exc)[:200]}
+            row = dict(modes.get(name, {}))
+            row["error"] = str(exc)[:200]
+            row["error_rev"] = rev
+            modes[name] = row
             print(json.dumps({"metric": name, "error": str(exc)[:200]}),
                   flush=True)
-            kw["spc"] = spc
             with open(MODES_PATH, "w") as f:   # record errors too
                 json.dump(modes, f, indent=1)
             continue
         max_mode_s = max(max_mode_s, time.perf_counter() - t0)
-        kw["spc"] = spc
         modes[name] = {"rays_per_s": round(r, 1),
-                       "vs_baseline": round(r / BASELINE_RAYS_PER_S, 3)}
+                       "vs_baseline": round(r / BASELINE_RAYS_PER_S, 3),
+                       "rev": rev, "date": date}
+        if spc > 1:
+            modes[name]["steps_per_call"] = spc
         print(json.dumps({"metric": name, "value": modes[name]["rays_per_s"],
                           "unit": "rays/s",
                           "vs_baseline": modes[name]["vs_baseline"]}),

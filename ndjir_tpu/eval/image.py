@@ -72,3 +72,32 @@ def ssim_map(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0,
 def ssim(img0: np.ndarray, img1: np.ndarray, data_range: float = 1.0) -> float:
     """Mean SSIM over channels (valid padding)."""
     return float(np.mean(ssim_map(img0, img1, data_range, mode="valid")))
+
+
+def ssim_masked(img0: np.ndarray, img1: np.ndarray, mask: np.ndarray,
+                data_range: float = 1.0) -> float:
+    """Mask-weighted mean SSIM: the prediction is composited onto the GT
+    background inside the mask, and the per-window SSIM map is averaged with
+    the gaussian-filtered mask as weights, so windows that do not overlap
+    the mask contribute nothing.  (A plain mean over the composited image
+    scores every all-background window exactly 1.0 — ~60% of windows on the
+    synthetic benchmark — inflating the score and making it *decrease* in
+    difficulty with resolution; round-4 advisor finding.)
+
+    img* (H, W, C) in [0, 1]; mask (H, W) or (H, W, 1) in {0, 1}.
+    """
+    from scipy.signal import fftconvolve
+
+    m = np.asarray(mask, np.float64)
+    if m.ndim == 3:
+        m = m[..., 0]
+    m3 = (m > 0.5)[..., None]
+    comp = np.where(m3, np.asarray(img0, np.float64),
+                    np.asarray(img1, np.float64))
+    smap = ssim_map(comp, img1, data_range, mode="valid")   # (h, w, C)
+    w = fftconvolve(m, _gaussian_kernel(), mode="valid")    # window overlap
+    w = np.clip(w, 0.0, None)[..., None]
+    denom = w.sum() * smap.shape[-1]
+    if denom <= 0:
+        return float("nan")
+    return float((smap * w).sum() / denom)

@@ -116,17 +116,20 @@ def _scatter_kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ids_buf,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_rows",))
+@functools.partial(jax.jit, static_argnames=("num_rows", "slab"))
 def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
-                               num_rows: int) -> jax.Array:
+                               num_rows: int, slab: int = _SLAB) -> jax.Array:
     """Transposed-output scatter-add: (d, num_rows) f32, no final transpose.
 
     The accumulation layout inside the kernel is already (d, slab); wide-row
     consumers (the octa grid-cotangent fold) read it directly, skipping a
-    2x full-table HBM transpose pass."""
+    2x full-table HBM transpose pass.  ``slab`` (rows per grid instance) is
+    static so chip probes can sweep it (scripts/probe_grid_bwd.py); the
+    default comes from NDJIR_SCATTER_SLAB."""
+    assert slab % 128 == 0 and slab > 0
     n, d = vals.shape
-    n_slabs = pl.cdiv(num_rows, _SLAB)
-    m_pad = n_slabs * _SLAB
+    n_slabs = pl.cdiv(num_rows, slab)
+    m_pad = n_slabs * slab
 
     # sort updates by row id; pad to whole chunks with out-of-range ids
     operands = (ids.astype(jnp.int32),) + tuple(vals[:, j] for j in range(d))
@@ -139,7 +142,7 @@ def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
     vals_p = jnp.concatenate(
         [vals_t, jnp.zeros((d, n_pad - n), jnp.float32)], axis=1)
 
-    bounds = jnp.arange(n_slabs + 1, dtype=jnp.int32) * _SLAB
+    bounds = jnp.arange(n_slabs + 1, dtype=jnp.int32) * slab
     starts = jnp.searchsorted(ids_s, bounds).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -149,7 +152,7 @@ def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((d, _SLAB), lambda k, s: (0, k),
+        out_specs=pl.BlockSpec((d, slab), lambda k, s: (0, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_CHUNK // _SUB, _SUB), jnp.int32),
@@ -158,7 +161,7 @@ def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_scatter_kernel, slab=_SLAB, chunk=_CHUNK, d=d)
+    kernel = functools.partial(_scatter_kernel, slab=slab, chunk=_CHUNK, d=d)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -182,12 +185,13 @@ def scatter_add_rows(ids: jax.Array, vals: jax.Array, num_rows: int
                      vals.dtype).at[ids].add(vals)
 
 
-def scatter_add_rows_t(ids: jax.Array, vals: jax.Array, num_rows: int
-                       ) -> jax.Array:
+def scatter_add_rows_t(ids: jax.Array, vals: jax.Array, num_rows: int,
+                       slab: int | None = None) -> jax.Array:
     """Transposed scatter-add: (D, num_rows) f32 accumulation (the kernel's
     native layout — no transpose pass).  Used by wide-row cotangent folds."""
     if _on_tpu():
-        return _scatter_add_rows_pallas_t(ids, vals, num_rows)
+        return _scatter_add_rows_pallas_t(ids, vals, num_rows,
+                                          slab if slab else _SLAB)
     return jnp.zeros((num_rows, vals.shape[-1]),
                      jnp.float32).at[ids].add(vals.astype(jnp.float32)).T
 

@@ -1,17 +1,32 @@
-"""Chip probe: split the octa-gather BACKWARD cost (scatter vs fold).
+"""Chip probe: split the octa-table BACKWARD cost (scatter vs fold vs Adam)
+and measure every candidate round-5 lever before committing to plumbing.
 
 ablation `tiny_grid` (docs/roofline_data.json) shows the G=256 table block
 costs ~80 ms of the 215 ms step; the forward build+gather accounts for
 ~29 ms (probe_build_variants.json), leaving ~50 ms in the backward chain:
-Pallas scatter-add into (8D, G^3) + the octa cotangent fold
-(channel-leading shifts + final minor-dim transpose) + table Adam.
+Pallas scatter-add into (8D, G^3) + the octa cotangent fold + table Adam.
 
 Variants (each its own jit; realistic surface-clustered ids):
-  scatter_d32   scatter_add_rows_t at 524k d=32 rows into 16.7M rows
-  fold_octa     _fold_octa_cotangent on a (32, G^3) f32 cotangent
-  fold_notrans  the same fold WITHOUT the final (1,2,3,0) transpose —
-                bounds what a transposed-layout Adam state would save
-  gather_vjp    full fwd+bwd of gather_rows_octa (build+gather+scatter+fold)
+  build_octa       the barriered octa build alone (12 ms expected)
+  gather_prebuilt  524k-row gather from a materialized (G^3, 8D) table
+  scatter_d32      scatter_add_rows_t at 524k d=32 rows into 16.7M rows
+  scatter_slab_S   the same at slab size S (sweep; default slab is 4096)
+  sort_argsort     argsort+gather row permutation vs the kernel's
+                   33-operand lax.sort (sort_multiop)
+  fold_octa        _fold_octa_cotangent on a (32, G^3) f32 cotangent
+                   (3 chained passes + final minor-dim transpose)
+  fold_notrans     the same fold WITHOUT the final (1,2,3,0) transpose —
+                   bounds what a transposed-layout Adam state would save
+  fold_onepass     single-pass 8-shifted-slice fold (reads the cotangent
+                   once instead of the 3-pass concat chain)
+  adam_table       nnabla-Adam moment+param update on the base table
+  gather_vjp       full fwd+bwd of gather_rows_octa (build+gather+scatter
+                   +fold) — the complete production backward
+  block_base       end-to-end table block as shipped: vjp + Adam
+  block_master     master-octa candidate: persistent (G^3, 8D) bf16 param,
+                   direct gather (no build), scatter + fold + Adam on the
+                   folded base cotangent + dup(delta) applied to the octa
+                   param (exact-parity alternative that deletes the build)
 
 Writes docs/probe_grid_bwd.json incrementally.
 """
@@ -38,6 +53,9 @@ OUT = os.path.join(REPO, "docs", "probe_grid_bwd.json")
 G, D = 256, 4
 NPTS = 524_288
 STEPS = int(os.environ.get("NDJIR_PROBE_STEPS", "10"))
+SLABS = (1024, 2048, 8192, 16384, 32768)
+
+_B1, _B2, _EPS = 0.9, 0.999, 1e-8
 
 
 def save(key, val):
@@ -74,9 +92,76 @@ def make_ids(n, seed=0):
     return (i[:, 0] * G * G + i[:, 1] * G + i[:, 2]).astype(np.int32)
 
 
+def _fold_onepass(cot, gshape):
+    """Single-pass adjoint of _voxel_octa_flat: out = sum over the 8 blocks
+    of the per-axis (shift-down-by-one + clamped-edge) transform."""
+    Gx, Gy, Gz, Dd = gshape
+    c = cot.reshape(8, Dd, Gx, Gy, Gz)
+
+    def shift_edge(f, axis, on):
+        if not on:
+            return f
+        L = f.shape[axis]
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(f, 0, 1, axis=axis))
+        shifted = jnp.concatenate(
+            [zero, jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)], axis=axis)
+        edge = jnp.concatenate(
+            [jnp.zeros_like(jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)),
+             jax.lax.slice_in_dim(f, L - 1, L, axis=axis)], axis=axis)
+        return shifted + edge
+
+    out = None
+    # block index b = dx*4 + dy*2 + dz (the _voxel_octa_flat channel layout)
+    for b in range(8):
+        dx, dy, dz = (b >> 2) & 1, (b >> 1) & 1, b & 1
+        t = c[b]
+        t = shift_edge(t, 1, dx)
+        t = shift_edge(t, 2, dy)
+        t = shift_edge(t, 3, dz)
+        out = t if out is None else out + t
+    return jnp.transpose(out, (1, 2, 3, 0))
+
+
+def _adam_update(p, m, v, g, t):
+    m2 = _B1 * m + (1 - _B1) * g
+    v2 = _B2 * v + (1 - _B2) * g * g
+    bias = jnp.sqrt(1.0 - _B2 ** t) / (1.0 - _B1 ** t)
+    p2 = (p.astype(jnp.float32)
+          - (1e-2 * bias) * m2 / (jnp.sqrt(v2) + _EPS)).astype(p.dtype)
+    return p2, m2, v2
+
+
+def _apply_dup_delta(octa, delta):
+    """octa (G^3, 8D) bf16 minus dup(delta); delta (G, G, G, D) f32.
+    Per-block shifted subtract — the incremental-update pass of the
+    master-octa candidate (keeps octa == dup(base) invariant exactly)."""
+    d16 = delta.astype(octa.dtype)
+    o = octa.reshape(G, G, G, 8, D)
+
+    def shifted(f, axis, on):
+        if not on:
+            return f
+        L = f.shape[axis]
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(f, 1, L, axis=axis),
+             jax.lax.slice_in_dim(f, L - 1, L, axis=axis)], axis=axis)
+
+    blocks = []
+    for b in range(8):
+        dx, dy, dz = (b >> 2) & 1, (b >> 1) & 1, b & 1
+        t = shifted(d16, 0, dx)
+        t = shifted(t, 1, dy)
+        t = shifted(t, 2, dz)
+        blocks.append(o[:, :, :, b, :] - t)
+    return jnp.stack(blocks, axis=3).reshape(G ** 3, 8 * D)
+
+
 def main():
     from ndjir_tpu.ops import grid as gr
-    from ndjir_tpu.ops.scatter_pallas import scatter_add_rows_t
+    from ndjir_tpu.ops.scatter_pallas import (
+        _scatter_add_rows_pallas_t,
+        scatter_add_rows_t,
+    )
 
     ids = jnp.asarray(make_ids(NPTS))
     feat = (1e-3 * jax.random.normal(jax.random.PRNGKey(0), (G, G, G, D))
@@ -90,16 +175,57 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as f:
             done = json.load(f)
-    which = sys.argv[1:] or ["scatter_d32", "fold_octa", "fold_notrans",
-                             "gather_vjp"]
+    default = ["build_octa", "gather_prebuilt", "scatter_d32",
+               "sort_multiop", "sort_argsort",
+               "fold_octa", "fold_notrans", "fold_onepass", "adam_table",
+               "gather_vjp", "block_base", "block_master"] \
+        + [f"scatter_slab_{s}" for s in SLABS]
+    which = sys.argv[1:] or default
     for name in which:
-        if name in done:
+        if name in done and "error" not in done[name]:
             print(f"[{name}] cached {done[name]}", flush=True)
             continue
         try:
-            if name == "scatter_d32":
+            if name == "build_octa":
+                def f(e, t):
+                    o = jax.lax.optimization_barrier(
+                        gr._voxel_octa_flat(t + e.astype(t.dtype)))
+                    # full reduction so XLA cannot DCE the build
+                    return o.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, feat), 2)})
+            elif name == "gather_prebuilt":
+                octa = jax.jit(lambda t: jax.lax.optimization_barrier(
+                    gr._voxel_octa_flat(t)))(feat)
+                octa.block_until_ready()
+
+                def f(e, o, i):
+                    return (o[i].astype(jnp.float32) + e).sum()
+                save(name, {"ms": round(timeit(f, octa, ids), 2)})
+            elif name == "scatter_d32":
                 def f(e, i, v):
                     return scatter_add_rows_t(i, v + e, G ** 3)[:, :8].sum()
+                save(name, {"ms": round(timeit(f, ids, gvals), 2)})
+            elif name.startswith("scatter_slab_"):
+                s = int(name.rsplit("_", 1)[1])
+
+                def f(e, i, v, s=s):
+                    return _scatter_add_rows_pallas_t(
+                        i, v + e, G ** 3, s)[:, :8].sum()
+                save(name, {"ms": round(timeit(f, ids, gvals), 2)})
+            elif name == "sort_multiop":
+                def f(e, i, v):
+                    v = v + e
+                    ops = (i,) + tuple(v[:, j] for j in range(v.shape[1]))
+                    out = jax.lax.sort(ops, num_keys=1)
+                    return out[0].sum() + sum(o[:8].sum() for o in out[1:])
+                save(name, {"ms": round(timeit(f, ids, gvals), 2)})
+            elif name == "sort_argsort":
+                def f(e, i, v):
+                    v = v + e
+                    ids_s, perm = jax.lax.sort(
+                        (i, jax.lax.iota(jnp.int32, i.shape[0])), num_keys=1)
+                    vs = v[perm]
+                    return ids_s.sum() + vs[:8].sum()
                 save(name, {"ms": round(timeit(f, ids, gvals), 2)})
             elif name == "fold_octa":
                 def f(e, c):
@@ -113,15 +239,75 @@ def main():
                     cc = gr._fold_dup_axis(cc, 3)
                     return cc.sum()
                 save(name, {"ms": round(timeit(f, cot), 2)})
+            elif name == "fold_onepass":
+                # correctness vs the shipped fold, then timing
+                small = cot[:, :64 ** 3]
+                ref = jax.jit(lambda c: gr._fold_octa_cotangent(
+                    c, (64, 64, 64, D)))(small)
+                alt = jax.jit(lambda c: _fold_onepass(
+                    c, (64, 64, 64, D)))(small)
+                err = float(jnp.max(jnp.abs(
+                    ref.reshape(64, 64, 64, D) - alt)))
+
+                def f(e, c):
+                    return _fold_onepass(c + e, (G, G, G, D)).sum()
+                save(name, {"ms": round(timeit(f, cot), 2),
+                            "max_err_vs_shipped": err})
+            elif name == "adam_table":
+                m = jnp.zeros((G, G, G, D), jnp.float32)
+                v = jnp.zeros((G, G, G, D), jnp.float32)
+                gb = jax.random.normal(jax.random.PRNGKey(3),
+                                       (G, G, G, D), jnp.float32)
+
+                def f(e, p, m, v, g):
+                    p2, m2, v2 = _adam_update(p, m, v, g + e, 10.0)
+                    return p2.astype(jnp.float32).sum() + m2.sum() + v2.sum()
+                save(name, {"ms": round(timeit(f, feat, m, v, gb), 2)})
             elif name == "gather_vjp":
                 def f(e, t, i, g):
                     out, vjp = jax.vjp(
                         lambda b: gr.gather_rows_octa(b, i, (G, G, G, D)), t)
-                    (db,) = vjp(g + e)
+                    # cotangent must match the primal output dtype (bf16)
+                    (db,) = vjp((g + e).astype(out.dtype))
                     return db.astype(jnp.float32).sum() \
                         + out.astype(jnp.float32).sum()
-                save(name, {"ms": round(timeit(f, feat, ids,
-                                               gvals.astype(feat.dtype)), 2)})
+                save(name, {"ms": round(timeit(f, feat, ids, gvals), 2)})
+            elif name == "block_base":
+                m = jnp.zeros((G, G, G, D), jnp.float32)
+                v = jnp.zeros((G, G, G, D), jnp.float32)
+
+                def f(e, t, i, g, m, v):
+                    out, vjp = jax.vjp(
+                        lambda b: gr.gather_rows_octa(b, i, (G, G, G, D)), t)
+                    (db,) = vjp((g + e).astype(out.dtype))
+                    p2, m2, v2 = _adam_update(t, m, v,
+                                              db.astype(jnp.float32), 10.0)
+                    return p2.astype(jnp.float32).sum() + m2.sum() \
+                        + v2.sum() + out.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, feat, ids, gvals, m, v),
+                                        2)})
+            elif name == "block_master":
+                octa = jax.jit(lambda t: jax.lax.optimization_barrier(
+                    gr._voxel_octa_flat(t)))(feat)
+                octa.block_until_ready()
+                m = jnp.zeros((G, G, G, D), jnp.float32)
+                v = jnp.zeros((G, G, G, D), jnp.float32)
+
+                def f(e, o, i, g, m, v):
+                    # forward: direct gather from the persistent octa param
+                    # (no build); backward: hand-rolled kernel scatter+fold
+                    out = o[i]
+                    cot_t = scatter_add_rows_t(i, (g + e), G ** 3)
+                    db = gr._fold_octa_cotangent(cot_t, (G, G, G, D))
+                    base = o[:, :D].reshape(G, G, G, D)
+                    _, m2, v2 = _adam_update(base, m, v, db, 10.0)
+                    bias = jnp.sqrt(1.0 - _B2 ** 10.0) / (1.0 - _B1 ** 10.0)
+                    delta = (1e-2 * bias) * m2 / (jnp.sqrt(v2) + _EPS)
+                    o2 = _apply_dup_delta(o, delta)
+                    return o2.astype(jnp.float32)[:, :8].sum() + m2.sum() \
+                        + v2.sum() + out.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, octa, ids, gvals, m, v),
+                                        2)})
         except Exception as exc:
             save(name, {"error": str(exc)[:300]})
 

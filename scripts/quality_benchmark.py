@@ -27,7 +27,7 @@ NDJIR_QUALITY_SCENE=v1 keeps the old scene.
 Env knobs: NDJIR_QUALITY_EPOCHS (default 2000), NDJIR_QUALITY_GRID (256),
 NDJIR_QUALITY_RES (image resolution, default 128 - round-2 ran 96),
 NDJIR_QUALITY_VIEWS (default 24), NDJIR_QUALITY_OUT
-(repo_root/QUALITY_r04.json), NDJIR_QUALITY_SCENE (v2 | v1).
+(repo_root/QUALITY_r05.json), NDJIR_QUALITY_SCENE (v2 | v1).
 """
 
 from __future__ import annotations
@@ -78,7 +78,7 @@ def main():
         make_hard_synthetic_scene,
         make_hard_synthetic_scene_v2,
     )
-    from ndjir_tpu.eval.image import psnr, ssim
+    from ndjir_tpu.eval.image import psnr, ssim, ssim_masked
     from ndjir_tpu.extract.mc import compute_sdf_volume, mesh_from_volume
     from ndjir_tpu.render.image import render_image
     from ndjir_tpu.train import schedules
@@ -90,9 +90,9 @@ def main():
     views = int(os.environ.get("NDJIR_QUALITY_VIEWS", "24"))
     scene_kind = os.environ.get("NDJIR_QUALITY_SCENE", "v2")
     out_path = os.environ.get("NDJIR_QUALITY_OUT",
-                              os.path.join(REPO, "QUALITY_r04.json"))
+                              os.path.join(REPO, "QUALITY_r05.json"))
     work = os.environ.get("NDJIR_QUALITY_WORKDIR",
-                          f"/tmp/ndjir_quality_r4_{scene_kind}")
+                          f"/tmp/ndjir_quality_r5_{scene_kind}")
     scene = os.path.join(work, "scene")
     if not os.path.exists(os.path.join(scene, "cameras.npz")):
         make_scene = (make_hard_synthetic_scene_v2 if scene_kind == "v2"
@@ -163,9 +163,10 @@ def main():
     # so any prediction noise there collapses the per-window score (the
     # round-3 "resolution-dependent SSIM drop": more background windows at
     # higher res).  ssim_obj composites the prediction onto the GT
-    # background inside the mask — the standard masked-SSIM protocol —
-    # and scores the object structure the benchmark is actually about.
-    ssim_obj = ssim(np.where(m3, pred, gt), gt)
+    # background inside the mask and averages the SSIM map with the
+    # window-mask-overlap as weights (all-background windows contribute
+    # nothing — round-4 advisor fix; eval/image.py:ssim_masked).
+    ssim_obj = ssim_masked(pred, gt, mask[..., 0] if mask.ndim == 3 else mask)
 
     # geometry: extracted mesh vs analytic GT mesh
     vol = compute_sdf_volume(params, conf, 256)

@@ -4,12 +4,12 @@ Same rationale as tpu_session_r3.py: the axon tunnel charges minutes of
 device-claim latency per process and a killed client can wedge the claim, so
 every chip task runs sequentially in THIS process.  Round-4 stages:
 
-  1. suite    — the full five-mode bench suite (fresh compiles of the conv
-                duplicated-table build) with a large budget, refreshing
+  1. suite    — the full five-mode bench suite (fresh compiles of the concat-chain
+                dup-table + optimization_barrier build) with a large budget, refreshing
                 BENCH_MODES.json + headline_runs.json (3x headline runs).
   2. quality  — QUALITY_r04 benchmark on the v2 scene (framework-native
                 image formation), 1500 epochs, 128^2 x 24 views, grid 256.
-  3. roofline — roofline evidence sections affected by the conv build
+  3. roofline — roofline evidence sections affected by the dup-table build
                 (cost_analysis + ablation; gather/scatter/sort rates are
                 microbenches of unchanged kernels).  Runs LAST: every
                 ablation variant is a fresh 10-30 min remote compile.
@@ -53,7 +53,7 @@ def stage_suite():
         print(f"[headline] run {i}: {r:.1f} rays/s", flush=True)
     out = {"runs": vals, "mean": round(float(np.mean(vals)), 1),
            "spread": round(float(np.max(vals) - np.min(vals)), 1),
-           "config": "g256 production (bf16 MLP + bf16 grid, conv dup-table)",
+           "config": "g256 production (bf16 MLP + bf16 grid, concat-chain dup-table + optimization_barrier)",
            "date": "2026-08-20"}
     with open(os.path.join(REPO, "docs", "headline_runs.json"), "w") as f:
         json.dump(out, f, indent=1)
@@ -64,7 +64,7 @@ def stage_roofline():
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import roofline_data as rd
 
-    # the conv dup-table build changes the step program: drop the stale
+    # the concat-chain dup-table build changes the step program: drop the stale
     # sections so their resume logic re-measures instead of skipping
     if os.path.exists(rd.OUT_PATH):
         with open(rd.OUT_PATH) as f:

@@ -159,3 +159,37 @@ def test_psnr_ssim_basics(rng):
     np.testing.assert_allclose(masked_psnr(a255, b255, mask),
                                psnr(img, noisy), atol=0.02)
     assert masked_ssim(a255, a255) > 0.999
+
+
+def test_ssim_masked_ignores_background(rng):
+    """ssim_masked must not be inflated by all-background windows (round-4
+    advisor finding): adding perfect background around a fixed object must
+    leave the score ~unchanged, and a degraded object must score < 1 even
+    when most of the image is background."""
+    from ndjir_tpu.eval.image import ssim_masked
+
+    H = W = 64
+    gt = np.full((H, W, 3), 0.04)
+    mask = np.zeros((H, W))
+    mask[24:40, 24:40] = 1.0
+    obj = rng.uniform(0, 1, (16, 16, 3))
+    gt[24:40, 24:40] = obj
+    pred = gt.copy()
+    pred[24:40, 24:40] = np.clip(obj + 0.15 * rng.randn(16, 16, 3), 0, 1)
+
+    s_small = ssim_masked(pred, gt, mask)
+    assert s_small < 0.95  # degraded object: background cannot rescue it
+
+    # same object/degradation embedded in a 4x larger background
+    H2 = W2 = 128
+    gt2 = np.full((H2, W2, 3), 0.04)
+    mask2 = np.zeros((H2, W2))
+    mask2[56:72, 56:72] = 1.0
+    gt2[56:72, 56:72] = obj
+    pred2 = gt2.copy()
+    pred2[56:72, 56:72] = pred[24:40, 24:40]
+    s_large = ssim_masked(pred2, gt2, mask2)
+    assert abs(s_large - s_small) < 0.02, (s_small, s_large)
+
+    # identical object: perfect score regardless of background size
+    assert ssim_masked(gt2, gt2, mask2) > 0.999
