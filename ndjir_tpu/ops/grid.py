@@ -187,13 +187,54 @@ def _fold_dup_axis(c: jax.Array, axis: int) -> jax.Array:
         [jax.lax.slice_in_dim(out, 0, L - 1, axis=axis), last], axis=axis)
 
 
+_FOLD_ONEPASS = os.environ.get("NDJIR_FOLD_ONEPASS", "1") != "0"
+
+
+def _shift_edge_adjoint(f: jax.Array, axis: int) -> jax.Array:
+    """Adjoint of the clamped +1 duplicate along ``axis``:
+    out[u] = f[u-1] (zero at u=0) plus f[L-1] folded onto u=L-1."""
+    L = f.shape[axis]
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(f, 0, 1, axis=axis))
+    shifted = jnp.concatenate(
+        [zero, jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)], axis=axis)
+    edge = jnp.concatenate(
+        [jnp.zeros_like(jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)),
+         jax.lax.slice_in_dim(f, L - 1, L, axis=axis)], axis=axis)
+    return shifted + edge
+
+
+def _fold_octa_cotangent_onepass(cot_t: jax.Array, gshape) -> jax.Array:
+    """Single-pass adjoint of :func:`_voxel_octa_flat`: the cotangent is
+    read ONCE (sum over the 8 channel blocks of per-axis shift-adjoints)
+    instead of the 3-pass halving chain, cutting the fold's HBM traffic
+    from ~5.7 GB to ~2.4 GB at G=256."""
+    Gx, Gy, Gz, D = gshape
+    c = cot_t.reshape(8, D, Gx, Gy, Gz)
+    out = None
+    # block index b = dx*4 + dy*2 + dz (the _voxel_octa_flat channel layout)
+    for b in range(8):
+        dx, dy, dz = (b >> 2) & 1, (b >> 1) & 1, b & 1
+        t = c[b]
+        if dx:
+            t = _shift_edge_adjoint(t, 1)
+        if dy:
+            t = _shift_edge_adjoint(t, 2)
+        if dz:
+            t = _shift_edge_adjoint(t, 3)
+        out = t if out is None else out + t
+    return jnp.transpose(out, (1, 2, 3, 0))
+
+
 def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     """(8D, G^3) f32 octa-row cotangent -> (Gx, Gy, Gz, D) base-table
     cotangent: the adjoint of :func:`_voxel_octa_flat` applied directly in
     the scatter kernel's transposed layout, in f32 throughout — replacing
     autodiff-of-concat folds on a transposed (G^3, 8D) table (2x ~2 GB
     cheaper in HBM traffic at G=256, and the 8-way duplicate sums no longer
-    round through bf16)."""
+    round through bf16).  Default path is the single-pass form
+    (NDJIR_FOLD_ONEPASS=0 restores the round-4 3-pass halving chain)."""
+    if _FOLD_ONEPASS:
+        return _fold_octa_cotangent_onepass(cot_t, gshape)
     Gx, Gy, Gz, D = gshape
     c = cot_t.reshape(8 * D, Gx, Gy, Gz)
     # inverse order of the _voxel_octa_flat build (z, y, x) -> fold x, y, z

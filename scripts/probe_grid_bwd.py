@@ -92,36 +92,6 @@ def make_ids(n, seed=0):
     return (i[:, 0] * G * G + i[:, 1] * G + i[:, 2]).astype(np.int32)
 
 
-def _fold_onepass(cot, gshape):
-    """Single-pass adjoint of _voxel_octa_flat: out = sum over the 8 blocks
-    of the per-axis (shift-down-by-one + clamped-edge) transform."""
-    Gx, Gy, Gz, Dd = gshape
-    c = cot.reshape(8, Dd, Gx, Gy, Gz)
-
-    def shift_edge(f, axis, on):
-        if not on:
-            return f
-        L = f.shape[axis]
-        zero = jnp.zeros_like(jax.lax.slice_in_dim(f, 0, 1, axis=axis))
-        shifted = jnp.concatenate(
-            [zero, jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)], axis=axis)
-        edge = jnp.concatenate(
-            [jnp.zeros_like(jax.lax.slice_in_dim(f, 0, L - 1, axis=axis)),
-             jax.lax.slice_in_dim(f, L - 1, L, axis=axis)], axis=axis)
-        return shifted + edge
-
-    out = None
-    # block index b = dx*4 + dy*2 + dz (the _voxel_octa_flat channel layout)
-    for b in range(8):
-        dx, dy, dz = (b >> 2) & 1, (b >> 1) & 1, b & 1
-        t = c[b]
-        t = shift_edge(t, 1, dx)
-        t = shift_edge(t, 2, dy)
-        t = shift_edge(t, 3, dz)
-        out = t if out is None else out + t
-    return jnp.transpose(out, (1, 2, 3, 0))
-
-
 def _adam_update(p, m, v, g, t):
     m2 = _B1 * m + (1 - _B1) * g
     v2 = _B2 * v + (1 - _B2) * g * g
@@ -228,8 +198,14 @@ def main():
                     return ids_s.sum() + vs[:8].sum()
                 save(name, {"ms": round(timeit(f, ids, gvals), 2)})
             elif name == "fold_octa":
+                # explicitly the round-4 3-pass chain (grid's dispatcher now
+                # defaults to one-pass; this row is the A side of the A/B)
                 def f(e, c):
-                    return gr._fold_octa_cotangent(c + e, (G, G, G, D)).sum()
+                    cc = (c + e).reshape(8 * D, G, G, G)
+                    cc = gr._fold_dup_axis(cc, 1)
+                    cc = gr._fold_dup_axis(cc, 2)
+                    cc = gr._fold_dup_axis(cc, 3)
+                    return jnp.transpose(cc, (1, 2, 3, 0)).sum()
                 save(name, {"ms": round(timeit(f, cot), 2)})
             elif name == "fold_notrans":
                 def f(e, c):
@@ -240,19 +216,26 @@ def main():
                     return cc.sum()
                 save(name, {"ms": round(timeit(f, cot), 2)})
             elif name == "fold_onepass":
-                # correctness vs the shipped fold, then timing
+                # correctness vs the chained fold, then timing (this is the
+                # production default, ops/grid.py:_fold_octa_cotangent_onepass)
                 small = cot[:, :64 ** 3]
-                ref = jax.jit(lambda c: gr._fold_octa_cotangent(
+
+                def chain(c):
+                    cc = c.reshape(8 * D, 64, 64, 64)
+                    cc = gr._fold_dup_axis(cc, 1)
+                    cc = gr._fold_dup_axis(cc, 2)
+                    cc = gr._fold_dup_axis(cc, 3)
+                    return jnp.transpose(cc, (1, 2, 3, 0))
+                ref = jax.jit(chain)(small)
+                alt = jax.jit(lambda c: gr._fold_octa_cotangent_onepass(
                     c, (64, 64, 64, D)))(small)
-                alt = jax.jit(lambda c: _fold_onepass(
-                    c, (64, 64, 64, D)))(small)
-                err = float(jnp.max(jnp.abs(
-                    ref.reshape(64, 64, 64, D) - alt)))
+                err = float(jnp.max(jnp.abs(ref - alt)))
 
                 def f(e, c):
-                    return _fold_onepass(c + e, (G, G, G, D)).sum()
+                    return gr._fold_octa_cotangent_onepass(
+                        c + e, (G, G, G, D)).sum()
                 save(name, {"ms": round(timeit(f, cot), 2),
-                            "max_err_vs_shipped": err})
+                            "max_err_vs_chain": err})
             elif name == "adam_table":
                 m = jnp.zeros((G, G, G, D), jnp.float32)
                 v = jnp.zeros((G, G, G, D), jnp.float32)

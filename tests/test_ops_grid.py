@@ -445,6 +445,29 @@ def test_gather_rows_zdup_vjp_matches_autodiff(rng, dtype):
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
+def test_octa_fold_onepass_matches_chain(rng):
+    """The single-pass octa fold (production default) == the 3-pass halving
+    chain == autodiff through _voxel_octa_flat, including the clamped-edge
+    double-count rows."""
+    gshape = (5, 6, 7, 3)
+    base = jnp.asarray(rng.randn(*gshape).astype(np.float32))
+    n_rows = gshape[0] * gshape[1] * gshape[2]
+    cot_t = jnp.asarray(rng.randn(24, n_rows).astype(np.float32))
+
+    _, vjp_fn = jax.vjp(G._voxel_octa_flat, base)
+    want = np.asarray(vjp_fn(cot_t.T.reshape(n_rows, 24))[0])
+
+    got_one = np.asarray(G._fold_octa_cotangent_onepass(cot_t, gshape))
+    np.testing.assert_allclose(got_one, want, rtol=1e-5, atol=1e-5)
+
+    cc = cot_t.reshape(24, *gshape[:3])
+    cc = G._fold_dup_axis(cc, 1)
+    cc = G._fold_dup_axis(cc, 2)
+    cc = G._fold_dup_axis(cc, 3)
+    got_chain = np.asarray(jnp.transpose(cc, (1, 2, 3, 0)))
+    np.testing.assert_allclose(got_chain, want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_gather_rows_octa_vjp_matches_autodiff(rng, dtype):
     """gather_rows_octa's hand-written backward (transposed scatter + direct
