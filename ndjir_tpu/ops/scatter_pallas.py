@@ -48,6 +48,7 @@ assert _SLAB % 128 == 0 and _SLAB > 0, \
 
 
 _INTERPRET = bool(os.environ.get("NDJIR_PALLAS_INTERPRET"))
+_SORT_MODE = os.environ.get("NDJIR_SCATTER_SORT", "multiop")
 
 
 def _on_tpu() -> bool:
@@ -116,9 +117,11 @@ def _scatter_kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ids_buf,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_rows", "slab"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_rows", "slab", "sort_mode"))
 def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
-                               num_rows: int, slab: int = _SLAB) -> jax.Array:
+                               num_rows: int, slab: int = _SLAB,
+                               sort_mode: str | None = None) -> jax.Array:
     """Transposed-output scatter-add: (d, num_rows) f32, no final transpose.
 
     The accumulation layout inside the kernel is already (d, slab); wide-row
@@ -131,14 +134,24 @@ def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
     n_slabs = pl.cdiv(num_rows, slab)
     m_pad = n_slabs * slab
 
-    # sort updates by row id; pad to whole chunks with out-of-range ids
-    operands = (ids.astype(jnp.int32),) + tuple(vals[:, j] for j in range(d))
-    out = jax.lax.sort(operands, num_keys=1)
-    ids_s = out[0]
+    # sort updates by row id; pad to whole chunks with out-of-range ids.
+    # Two strategies: "multiop" carries all d value columns through the
+    # sort network; "argsort" sorts (id, iota) then permutes the values with
+    # ONE gather — at d=32 the sort network otherwise streams 33 operands
+    # through every pass (NDJIR_SCATTER_SORT picks; see probe_grid_bwd).
+    if (sort_mode or _SORT_MODE) == "argsort":
+        ids_s, perm = jax.lax.sort(
+            (ids.astype(jnp.int32), jax.lax.iota(jnp.int32, n)), num_keys=1)
+        vals_t = vals[perm].astype(jnp.float32).T       # (d, n)
+    else:
+        operands = (ids.astype(jnp.int32),) \
+            + tuple(vals[:, j] for j in range(d))
+        out = jax.lax.sort(operands, num_keys=1)
+        ids_s = out[0]
+        vals_t = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # (d, n)
     n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK + _CHUNK
     ids_p = jnp.concatenate(
         [ids_s, jnp.full((n_pad - n,), m_pad, jnp.int32)])
-    vals_t = jnp.stack(out[1:], axis=0).astype(jnp.float32)  # (d, n)
     vals_p = jnp.concatenate(
         [vals_t, jnp.zeros((d, n_pad - n), jnp.float32)], axis=1)
 

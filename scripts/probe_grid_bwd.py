@@ -146,7 +146,7 @@ def main():
         with open(OUT) as f:
             done = json.load(f)
     default = ["build_octa", "gather_prebuilt", "scatter_d32",
-               "sort_multiop", "sort_argsort",
+               "scatter_d32_argsort", "sort_multiop", "sort_argsort",
                "fold_octa", "fold_notrans", "fold_onepass", "adam_table",
                "gather_vjp", "block_base", "block_master"] \
         + [f"scatter_slab_{s}" for s in SLABS]
@@ -181,6 +181,12 @@ def main():
                 def f(e, i, v, s=s):
                     return _scatter_add_rows_pallas_t(
                         i, v + e, G ** 3, s)[:, :8].sum()
+                save(name, {"ms": round(timeit(f, ids, gvals), 2)})
+            elif name == "scatter_d32_argsort":
+                # full scatter with the argsort+gather sort strategy
+                def f(e, i, v):
+                    return _scatter_add_rows_pallas_t(
+                        i, v + e, G ** 3, sort_mode="argsort")[:, :8].sum()
                 save(name, {"ms": round(timeit(f, ids, gvals), 2)})
             elif name == "sort_multiop":
                 def f(e, i, v):
@@ -246,7 +252,11 @@ def main():
                     p2, m2, v2 = _adam_update(p, m, v, g + e, 10.0)
                     return p2.astype(jnp.float32).sum() + m2.sum() + v2.sum()
                 save(name, {"ms": round(timeit(f, feat, m, v, gb), 2)})
-            elif name == "gather_vjp":
+            elif name in ("gather_vjp", "gather_vjp_onepass"):
+                # gather_vjp was measured by the session-1 process (3-pass
+                # fold); gather_vjp_onepass re-measures the SAME production
+                # vjp with the one-pass fold default — run it from a process
+                # whose ops/grid.py has _FOLD_ONEPASS on
                 def f(e, t, i, g):
                     out, vjp = jax.vjp(
                         lambda b: gr.gather_rows_octa(b, i, (G, G, G, D)), t)
