@@ -256,6 +256,109 @@ def _fold_zdup_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     return jnp.transpose(c, (1, 2, 3, 0))
 
 
+# ---------------------------------------------------------------------------
+# packed duplicated tables: pad-free materialization
+# ---------------------------------------------------------------------------
+#
+# The duplicated-row tables above have narrow minor dims (octa 8D=32 ch
+# bf16, z-dup 2D=8 ch), and forcing them to materialize (the
+# optimization_barrier) tile-pads the lane dim to 128 — a 4x (octa) / 16x
+# (z-dup) write amplification; the measured ~12-18 ms octa build at G=256
+# is mostly that padding.  Packing P consecutive-z duplicated rows into one
+# 128-channel stored row makes the lane dim exactly 128: the build writes
+# the table at its logical size, the gather reads one 256 B packed row, and
+# a P-way channel select (elementwise, fused) recovers the logical row.
+# The backward is UNCHANGED (scatter + fold on the logical layout).
+# Build = 32 (octa) / 32 (z-dup) clamp-shifted strided slices of the base
+# param — no reshape of the 4-D param ever happens inside the program (the
+# pair-window trap; see tpu-toolchain notes in docs/ROOFLINE.md).
+
+_PACKED_TABLE = os.environ.get("NDJIR_PACKED_TABLE", "0") != "0"
+
+
+def _zpick(f: jax.Array, s: int, pack: int) -> jax.Array:
+    """Along axis 2 (z): t[..., k, :] = f[..., min(pack*k + s, G-1), :] for
+    k = 0..G/pack-1, with s in [0, pack].  s <= pack-1 is a plain strided
+    slice; s == pack needs the clamped last element appended."""
+    Gz = f.shape[2]
+    n = Gz // pack
+    if s < pack:
+        return jax.lax.slice_in_dim(f, s, s + (n - 1) * pack + 1, pack,
+                                    axis=2)
+    last = jax.lax.slice_in_dim(f, Gz - 1, Gz, axis=2)
+    if n == 1:
+        return last
+    body = jax.lax.slice_in_dim(f, pack, pack + (n - 2) * pack + 1, pack,
+                                axis=2)
+    return jnp.concatenate([body, last], axis=2)
+
+
+def _shift_clamp(f: jax.Array, axis: int) -> jax.Array:
+    """out[u] = f[min(u + 1, L - 1)] along ``axis``."""
+    L = f.shape[axis]
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(f, 1, L, axis=axis),
+         jax.lax.slice_in_dim(f, L - 1, L, axis=axis)], axis=axis)
+
+
+def _voxel_octa_packed(feature: jax.Array, pack: int = 4) -> jax.Array:
+    """(G,G,G,D) -> (Gx*Gy*(Gz/pack), pack*8D) packed octa table: stored row
+    j holds the ``pack`` octa rows with z0 = pack*(j % (Gz/pack)) + q,
+    channel layout q-major then the _voxel_octa_flat order
+    (c = dx*4D + dy*2D + dz*D + d)."""
+    Gx, Gy, Gz, D = feature.shape
+    assert Gz % pack == 0
+    blocks = []
+    for q in range(pack):
+        for dx in range(2):
+            for dy in range(2):
+                for dz in range(2):
+                    t = _zpick(feature, q + dz, pack)
+                    if dx:
+                        t = _shift_clamp(t, 0)
+                    if dy:
+                        t = _shift_clamp(t, 1)
+                    blocks.append(t)
+    out = jnp.concatenate(blocks, axis=-1)     # (Gx, Gy, Gz/pack, pack*8D)
+    return out.reshape(Gx * Gy * (Gz // pack), pack * 8 * D)
+
+
+def _voxel_zdup_packed(feature: jax.Array, pack: int = 16) -> jax.Array:
+    """(G,G,G,D) -> (Gx*Gy*(Gz/pack), pack*2D) packed z-dup table (channel
+    layout q-major then (dz, d))."""
+    Gx, Gy, Gz, D = feature.shape
+    assert Gz % pack == 0
+    blocks = []
+    for q in range(pack):
+        for dz in range(2):
+            blocks.append(_zpick(feature, q + dz, pack))
+    out = jnp.concatenate(blocks, axis=-1)     # (Gx, Gy, Gz/pack, pack*2D)
+    return out.reshape(Gx * Gy * (Gz // pack), pack * 2 * D)
+
+
+def _packed_select(rows: jax.Array, sel: jax.Array, width: int,
+                   pack: int) -> jax.Array:
+    """rows (..., pack*width), sel (...,) in [0, pack) -> (..., width):
+    out = rows[..., sel*width : (sel+1)*width] as a fused P-way select."""
+    out = None
+    for q in range(pack):
+        w = (sel == q).astype(rows.dtype)[..., None]
+        term = w * rows[..., q * width:(q + 1) * width]
+        out = term if out is None else out + term
+    return out
+
+
+def octa_pack_for(gshape, dtype) -> int:
+    """Packing factor making the stored lane dim exactly 128 channels."""
+    D = gshape[-1]
+    return max(1, 128 // (8 * D)) if jnp.dtype(dtype) == jnp.bfloat16 else 1
+
+
+def zdup_pack_for(gshape, dtype) -> int:
+    D = gshape[-1]
+    return max(1, 128 // (2 * D)) if jnp.dtype(dtype) == jnp.bfloat16 else 1
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_zdup(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
     """Gather (..., 2D) z-paired rows for int row ids (...,) straight from
@@ -264,12 +367,24 @@ def gather_rows_zdup(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
     Forward: builds the z-dup table (XLA CSE dedupes the build across all
     query sites in a step) and gathers.  Backward: transposed Pallas
     scatter-add into the kernel-native (2D, G^3) f32 layout + the direct
-    :func:`_fold_zdup_cotangent` adjoint."""
+    :func:`_fold_zdup_cotangent` adjoint.  With NDJIR_PACKED_TABLE=1 and a
+    bf16 table, the forward materializes the pad-free packed form instead
+    (see the packed-table comment block)."""
+    return _zdup_forward(base, ids, gshape)
+
+
+def _zdup_forward(base, ids, gshape):
+    pack = zdup_pack_for(gshape, base.dtype)
+    if _PACKED_TABLE and pack > 1 and gshape[2] % pack == 0:
+        D = gshape[-1]
+        packed = jax.lax.optimization_barrier(_voxel_zdup_packed(base, pack))
+        rows = packed[ids // pack]
+        return _packed_select(rows, ids % pack, 2 * D, pack)
     return _voxel_zdup_flat(base)[ids]
 
 
 def _gather_zdup_fwd(base, ids, gshape):
-    return _voxel_zdup_flat(base)[ids], ids
+    return _zdup_forward(base, ids, gshape), ids
 
 
 def _gather_zdup_bwd(gshape, ids, g):
@@ -305,13 +420,25 @@ def gather_rows_octa(base: jax.Array, ids: jax.Array, gshape) -> jax.Array:
     the 4-D param to 1-D inside the program).  Backward: transposed Pallas
     scatter-add into the kernel-native (8D, G^3) layout + the direct
     :func:`_fold_octa_cotangent` adjoint — no (G^3, 8D) transpose pass and
-    no staged bf16 concat-VJP fold.
+    no staged bf16 concat-VJP fold.  With NDJIR_PACKED_TABLE=1 the forward
+    materializes the pad-free packed form instead (see the packed-table
+    comment block).
     """
+    return _octa_forward(base, ids, gshape)
+
+
+def _octa_forward(base, ids, gshape):
+    pack = octa_pack_for(gshape, base.dtype)
+    if _PACKED_TABLE and pack > 1 and gshape[2] % pack == 0:
+        D = gshape[-1]
+        packed = jax.lax.optimization_barrier(_voxel_octa_packed(base, pack))
+        rows = packed[ids // pack]
+        return _packed_select(rows, ids % pack, 8 * D, pack)
     return jax.lax.optimization_barrier(_voxel_octa_flat(base))[ids]
 
 
 def _gather_octa_fwd(base, ids, gshape):
-    return jax.lax.optimization_barrier(_voxel_octa_flat(base))[ids], ids
+    return _octa_forward(base, ids, gshape), ids
 
 
 def _gather_octa_bwd(gshape, ids, g):

@@ -279,6 +279,75 @@ def main():
                         + v2.sum() + out.astype(jnp.float32).sum()
                 save(name, {"ms": round(timeit(f, feat, ids, gvals, m, v),
                                         2)})
+            elif name == "build_octa_packed":
+                def f(e, t):
+                    o = jax.lax.optimization_barrier(
+                        gr._voxel_octa_packed(t + e.astype(t.dtype), 4))
+                    return o.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, feat), 2)})
+            elif name == "gather_packed":
+                packed = jax.jit(lambda t: jax.lax.optimization_barrier(
+                    gr._voxel_octa_packed(t, 4)))(feat)
+                packed.block_until_ready()
+
+                def f(e, o, i):
+                    rows = o[i // 4]
+                    out = gr._packed_select(rows, i % 4, 8 * D, 4)
+                    return (out.astype(jnp.float32) + e).sum()
+                save(name, {"ms": round(timeit(f, packed, ids), 2)})
+            elif name == "octa_packed_fwd":
+                # end-to-end packed forward: build + gather + select
+                def f(e, t, i):
+                    o = jax.lax.optimization_barrier(
+                        gr._voxel_octa_packed(t + e.astype(t.dtype), 4))
+                    rows = o[i // 4]
+                    out = gr._packed_select(rows, i % 4, 8 * D, 4)
+                    return out.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, feat, ids), 2)})
+            elif name == "gather_vjp_packed":
+                # production vjp with the packed forward (backward unchanged)
+                old = gr._PACKED_TABLE
+                gr._PACKED_TABLE = True
+                try:
+                    def f(e, t, i, g):
+                        out, vjp = jax.vjp(
+                            lambda b: gr.gather_rows_octa(
+                                b, i, (G, G, G, D)), t)
+                        (db,) = vjp((g + e).astype(out.dtype))
+                        return db.astype(jnp.float32).sum() \
+                            + out.astype(jnp.float32).sum()
+                    save(name, {"ms": round(timeit(f, feat, ids, gvals), 2)})
+                finally:
+                    gr._PACKED_TABLE = old
+            elif name in ("zdup512_fwd", "zdup512_packed_fwd"):
+                G5 = 512
+                feat5 = (1e-3 * jax.random.normal(
+                    jax.random.PRNGKey(5), (G5, G5, G5, D))
+                ).astype(jnp.bfloat16)
+                rng5 = np.random.RandomState(7)
+                d5 = rng5.normal(size=(NPTS, 3))
+                d5 /= np.linalg.norm(d5, axis=1, keepdims=True)
+                r5 = 0.5 + 0.05 * rng5.normal(size=(NPTS, 1))
+                x5 = np.clip((d5 * r5 + 1.0) * 0.5 * (G5 - 1), 0,
+                             G5 - 1 - 1e-4).astype(np.int64)
+                ids5 = jnp.asarray(
+                    (x5[:, 0] * G5 * G5 + x5[:, 1] * G5 + x5[:, 2])
+                    .astype(np.int32))
+                # 4 corner rows per point in production; probe 4x rows
+                ids5 = jnp.concatenate([ids5, ids5 + 1, ids5 + G5,
+                                        ids5 + G5 + 1])
+                if name == "zdup512_fwd":
+                    def f(e, t, i):
+                        out = gr._voxel_zdup_flat(t + e.astype(t.dtype))[i]
+                        return out.astype(jnp.float32).sum()
+                else:
+                    def f(e, t, i):
+                        o = jax.lax.optimization_barrier(
+                            gr._voxel_zdup_packed(t + e.astype(t.dtype), 16))
+                        rows = o[i // 16]
+                        out = gr._packed_select(rows, i % 16, 2 * D, 16)
+                        return out.astype(jnp.float32).sum()
+                save(name, {"ms": round(timeit(f, feat5, ids5), 2)})
             elif name == "block_master":
                 octa = jax.jit(lambda t: jax.lax.optimization_barrier(
                     gr._voxel_octa_flat(t)))(feat)

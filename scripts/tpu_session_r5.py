@@ -44,8 +44,10 @@ def stage_probe2():
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import probe_grid_bwd as pg
 
-    sys.argv = ["probe_grid_bwd", "gather_vjp_onepass", "block_base",
-                "block_master"] + os.environ.get(
+    sys.argv = ["probe_grid_bwd", "gather_vjp_onepass", "scatter_d32_argsort",
+                "build_octa_packed", "gather_packed", "octa_packed_fwd",
+                "gather_vjp_packed", "zdup512_fwd", "zdup512_packed_fwd",
+                "block_base", "block_master"] + os.environ.get(
                     "NDJIR_SESSION_PROBE_EXTRA", "").split()
     sys.argv = [a for a in sys.argv if a]
     pg.main()

@@ -445,6 +445,40 @@ def test_gather_rows_zdup_vjp_matches_autodiff(rng, dtype):
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
+def test_packed_table_forward_bitexact(rng, monkeypatch):
+    """NDJIR_PACKED_TABLE forward (pad-free 128-lane packed rows + P-way
+    channel select) must be BIT-exact vs the plain duplicated-table gather,
+    for octa and z-dup, values and custom-vjp cotangents alike."""
+    gshape = (8, 8, 8, 4)
+    base = jnp.asarray(rng.randn(*gshape).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(-1.2, 1.2, (60, 3)).astype(np.float32))
+
+    ids_o = G.voxel_octa_ids(x, gshape)
+    ids_z = G.voxel_zdup_ids(x, gshape)
+    cot_o = jnp.asarray(rng.randn(*ids_o.shape, 32).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    cot_z = jnp.asarray(rng.randn(*ids_z.shape, 8).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+
+    def run():
+        out_o, vjp_o = jax.vjp(
+            lambda b: G.gather_rows_octa(b, ids_o, gshape), base)
+        out_z, vjp_z = jax.vjp(
+            lambda b: G.gather_rows_zdup(b, ids_z, gshape), base)
+        return (np.asarray(out_o.astype(jnp.float32)),
+                np.asarray(vjp_o(cot_o)[0].astype(jnp.float32)),
+                np.asarray(out_z.astype(jnp.float32)),
+                np.asarray(vjp_z(cot_z)[0].astype(jnp.float32)))
+
+    monkeypatch.setattr(G, "_PACKED_TABLE", False)
+    plain = run()
+    monkeypatch.setattr(G, "_PACKED_TABLE", True)
+    packed = run()
+    for a, b in zip(plain, packed):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_octa_fold_onepass_matches_chain(rng):
     """The single-pass octa fold (production default) == the 3-pass halving
     chain == autodiff through _voxel_octa_flat, including the clamped-edge
