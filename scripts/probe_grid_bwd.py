@@ -242,6 +242,67 @@ def main():
                         c + e, (G, G, G, D)).sum()
                 save(name, {"ms": round(timeit(f, cot), 2),
                             "max_err_vs_chain": err})
+            elif name == "fold_flat":
+                # candidate: bulk shift of ALL active axes in ONE pad+slice
+                # per block (no nested concat chains), plus the clamped-edge
+                # cross terms as boundary-plane .at[].add updates (each <=
+                # a G^2 plane - negligible traffic).  Correctness vs the
+                # 3-pass chain at G=64, then timing at G=256.
+                def flat_fold(c, g):
+                    cc = c.reshape(8, D, g, g, g)
+                    out = cc[0]
+                    for b in range(1, 8):
+                        # t = cc[b] is (D, g, g, g): grid axes are 1, 2, 3
+                        act = [(a + 1) for a in range(3) if (b >> (2 - a)) & 1]
+                        t = cc[b]
+                        pad = [(0, 0)] * 4
+                        for a in act:
+                            pad[a] = (1, 0)
+                        bulk = jax.lax.pad(t, jnp.float32(0.0),
+                                           [(lo, 0, 0) for lo, _ in pad])
+                        bulk = bulk[tuple(slice(0, s) for s in t.shape)]
+                        out = out + bulk
+                        # edge cross terms: every nonempty subset T of the
+                        # active axes pins those axes to G-1 on input+output,
+                        # remaining active axes shift (adjoint of clamp-dup)
+                        for mask_t in range(1, 1 << len(act)):
+                            sub = [act[j] for j in range(len(act))
+                                   if (mask_t >> j) & 1]
+                            rest = [a for a in act if a not in sub]
+                            src = t
+                            idx = [slice(None)] * 4
+                            for a in sub:
+                                idx[a] = slice(g - 1, g)
+                            src = src[tuple(idx)]
+                            for a in rest:
+                                zero = jnp.zeros_like(
+                                    jax.lax.slice_in_dim(src, 0, 1, axis=a))
+                                src = jnp.concatenate(
+                                    [zero,
+                                     jax.lax.slice_in_dim(src, 0, g - 1,
+                                                          axis=a)], axis=a)
+                            out_idx = tuple(
+                                slice(g - 1, g) if a in sub else slice(None)
+                                for a in range(4))
+                            out = out.at[out_idx].add(src)
+                    return jnp.moveaxis(out, 0, -1)   # (g, g, g, D)
+
+                small = cot[:, :64 ** 3]
+
+                def chain64(c):
+                    cc = c.reshape(8 * D, 64, 64, 64)
+                    cc = gr._fold_dup_axis(cc, 1)
+                    cc = gr._fold_dup_axis(cc, 2)
+                    cc = gr._fold_dup_axis(cc, 3)
+                    return jnp.transpose(cc, (1, 2, 3, 0))
+                ref = jax.jit(chain64)(small)
+                alt = jax.jit(lambda c: flat_fold(c, 64))(small)
+                err = float(jnp.max(jnp.abs(ref - alt)))
+
+                def f(e, c):
+                    return flat_fold(c + e, G).sum()
+                save(name, {"ms": round(timeit(f, cot), 2),
+                            "max_err_vs_chain": err})
             elif name == "adam_table":
                 m = jnp.zeros((G, G, G, D), jnp.float32)
                 v = jnp.zeros((G, G, G, D), jnp.float32)
