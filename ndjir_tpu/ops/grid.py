@@ -187,7 +187,14 @@ def _fold_dup_axis(c: jax.Array, axis: int) -> jax.Array:
         [jax.lax.slice_in_dim(out, 0, L - 1, axis=axis), last], axis=axis)
 
 
-_FOLD_ONEPASS = os.environ.get("NDJIR_FOLD_ONEPASS", "1") != "0"
+# NDJIR_FOLD_MODE selects the octa cotangent-fold formulation:
+#   onepass  single-pass 8-shifted-slice fold (round-5 default candidate)
+#   chain    the round-4 3-pass halving chain
+#   flat     one pad+slice bulk shift per block + boundary-plane edge
+#            corrections (no nested concat chains; round-5 candidate)
+# NDJIR_FOLD_ONEPASS=0 is kept as an alias for chain (round-4 scripts).
+_FOLD_MODE = os.environ.get("NDJIR_FOLD_MODE", "") or (
+    "chain" if os.environ.get("NDJIR_FOLD_ONEPASS", "1") == "0" else "onepass")
 
 
 def _shift_edge_adjoint(f: jax.Array, axis: int) -> jax.Array:
@@ -225,15 +232,60 @@ def _fold_octa_cotangent_onepass(cot_t: jax.Array, gshape) -> jax.Array:
     return jnp.transpose(out, (1, 2, 3, 0))
 
 
+def _fold_octa_cotangent_flat(cot_t: jax.Array, gshape) -> jax.Array:
+    """Flat-shift fold: for each of the 8 channel blocks the bulk shift of
+    ALL its active axes is ONE ``lax.pad`` + slice (the S-part of the
+    per-axis adjoint (S + E)); the clamped-edge cross terms (products
+    containing at least one E) pin those axes to G-1 and touch at most a
+    G^2 boundary plane each — 19 small ``.at[].add`` updates whose traffic
+    is negligible.  Avoids the nested concat chains of the onepass/chain
+    forms, which XLA materializes per nesting level."""
+    Gx, Gy, Gz, D = gshape
+    cc = cot_t.reshape(8, D, Gx, Gy, Gz)
+    sizes = (Gx, Gy, Gz)
+    out = cc[0]
+    for b in range(1, 8):
+        # cc[b] is (D, gx, gy, gz): grid axes are 1, 2, 3
+        act = [(a + 1) for a in range(3) if (b >> (2 - a)) & 1]
+        t = cc[b]
+        padcfg = [(0, 0, 0)] * 4
+        for a in act:
+            padcfg[a] = (1, 0, 0)
+        bulk = jax.lax.pad(t, jnp.zeros((), t.dtype), padcfg)
+        bulk = bulk[tuple(slice(0, s) for s in t.shape)]
+        out = out + bulk
+        for mask_t in range(1, 1 << len(act)):
+            sub = [act[j] for j in range(len(act)) if (mask_t >> j) & 1]
+            rest = [a for a in act if a not in sub]
+            idx = [slice(None)] * 4
+            for a in sub:
+                idx[a] = slice(sizes[a - 1] - 1, sizes[a - 1])
+            src = t[tuple(idx)]
+            for a in rest:
+                L = sizes[a - 1]
+                zero = jnp.zeros_like(
+                    jax.lax.slice_in_dim(src, 0, 1, axis=a))
+                src = jnp.concatenate(
+                    [zero, jax.lax.slice_in_dim(src, 0, L - 1, axis=a)],
+                    axis=a)
+            out_idx = tuple(
+                slice(sizes[a - 1] - 1, sizes[a - 1]) if a in sub
+                else slice(None) for a in range(4))
+            out = out.at[out_idx].add(src)
+    return jnp.moveaxis(out, 0, -1)
+
+
 def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     """(8D, G^3) f32 octa-row cotangent -> (Gx, Gy, Gz, D) base-table
     cotangent: the adjoint of :func:`_voxel_octa_flat` applied directly in
     the scatter kernel's transposed layout, in f32 throughout — replacing
     autodiff-of-concat folds on a transposed (G^3, 8D) table (2x ~2 GB
     cheaper in HBM traffic at G=256, and the 8-way duplicate sums no longer
-    round through bf16).  Default path is the single-pass form
-    (NDJIR_FOLD_ONEPASS=0 restores the round-4 3-pass halving chain)."""
-    if _FOLD_ONEPASS:
+    round through bf16).  Formulation picked by NDJIR_FOLD_MODE (see
+    above); all three are adjoint-exact (tests/test_ops_grid.py)."""
+    if _FOLD_MODE == "flat":
+        return _fold_octa_cotangent_flat(cot_t, gshape)
+    if _FOLD_MODE == "onepass":
         return _fold_octa_cotangent_onepass(cot_t, gshape)
     Gx, Gy, Gz, D = gshape
     c = cot_t.reshape(8 * D, Gx, Gy, Gz)

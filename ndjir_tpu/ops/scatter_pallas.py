@@ -48,7 +48,17 @@ assert _SLAB % 128 == 0 and _SLAB > 0, \
 
 
 _INTERPRET = bool(os.environ.get("NDJIR_PALLAS_INTERPRET"))
-_SORT_MODE = os.environ.get("NDJIR_SCATTER_SORT", "multiop")
+# Width-dependent sort default (round-5 chip probe, docs/probe_grid_bwd.json):
+# at d=32 (the octa cotangent) the multi-operand sort streams 33 operands
+# through every sort-network pass while argsort+gather permutes the values
+# with ONE gather — full-scatter 16.4 ms argsort; at d<=8 (z-dup) the
+# microbench (docs/roofline_data.json `sort`) has multiop 2x ahead.
+# NDJIR_SCATTER_SORT={multiop,argsort} forces one strategy globally.
+_SORT_MODE = os.environ.get("NDJIR_SCATTER_SORT", "")
+
+
+def _sort_mode_for(d: int) -> str:
+    return _SORT_MODE or ("argsort" if d > 8 else "multiop")
 
 
 def _on_tpu() -> bool:
@@ -139,7 +149,7 @@ def _scatter_add_rows_pallas_t(ids: jax.Array, vals: jax.Array,
     # sort network; "argsort" sorts (id, iota) then permutes the values with
     # ONE gather — at d=32 the sort network otherwise streams 33 operands
     # through every pass (NDJIR_SCATTER_SORT picks; see probe_grid_bwd).
-    if (sort_mode or _SORT_MODE) == "argsort":
+    if (sort_mode or _sort_mode_for(d)) == "argsort":
         ids_s, perm = jax.lax.sort(
             (ids.astype(jnp.int32), jax.lax.iota(jnp.int32, n)), num_keys=1)
         vals_t = vals[perm].astype(jnp.float32).T       # (d, n)

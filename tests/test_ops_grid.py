@@ -494,6 +494,9 @@ def test_octa_fold_onepass_matches_chain(rng):
     got_one = np.asarray(G._fold_octa_cotangent_onepass(cot_t, gshape))
     np.testing.assert_allclose(got_one, want, rtol=1e-5, atol=1e-5)
 
+    got_flat = np.asarray(G._fold_octa_cotangent_flat(cot_t, gshape))
+    np.testing.assert_allclose(got_flat, want, rtol=1e-5, atol=1e-5)
+
     cc = cot_t.reshape(24, *gshape[:3])
     cc = G._fold_dup_axis(cc, 1)
     cc = G._fold_dup_axis(cc, 2)
