@@ -182,6 +182,14 @@ def main():
                     return _scatter_add_rows_pallas_t(
                         i, v + e, G ** 3, s)[:, :8].sum()
                 save(name, {"ms": round(timeit(f, ids, gvals), 2)})
+            elif name == "scatter_d32_multiop":
+                # the round-4 default strategy, as the explicit baseline for
+                # the argsort A/B (the width-dependent default now picks
+                # argsort at d=32)
+                def f(e, i, v):
+                    return _scatter_add_rows_pallas_t(
+                        i, v + e, G ** 3, sort_mode="multiop")[:, :8].sum()
+                save(name, {"ms": round(timeit(f, ids, gvals), 2)})
             elif name == "scatter_d32_argsort":
                 # full scatter with the argsort+gather sort strategy
                 def f(e, i, v):

@@ -1,0 +1,216 @@
+"""Round-5 consolidated chip session (single process, stages flushed).
+
+One long-lived process for ALL remaining round-5 chip work: the tunnel
+charges minutes of device-claim latency per process and a killed client
+wedges the claim for ~an hour (measured twice this round), so everything
+runs sequentially here and nothing gets killed.
+
+Stages (in order; each flushes artifacts before the next starts):
+  probes    fold formulation A/B (onepass vs chain vs flat), the multiop
+            scatter baseline, table Adam, and a 2-point slab sweep.
+  decide    pick the fold mode + scatter slab IN-PROCESS (module-global
+            override; the committed defaults are flipped to match by the
+            builder while the session continues) and write
+            /tmp/r5_decisions.json for the builder to read.
+  suite     the full bench suite (merges into BENCH_MODES.json) + 3x
+            headline repeats into docs/headline_runs.json.
+  quality   v2 scene fresh 1500-epoch run (the /tmp r4 checkpoint did not
+            survive the round boundary), then v1 at reduced epochs
+            (NDJIR_SESSION_V1_EPOCHS, default 600), then QUALITY_r05.json
+            with explicit pass bars.
+  roofline  refreshed cost_analysis (cleaned schema) at current code.
+
+Stage list via NDJIR_SESSION_STAGES (comma-separated), default all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from ndjir_tpu.utils.runtime import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
+DECISIONS = "/tmp/r5_decisions.json"
+
+
+def stage_probes():
+    import probe_grid_bwd as pg
+
+    sys.argv = ["probe_grid_bwd", "fold_onepass", "fold_octa", "fold_flat",
+                "scatter_d32_multiop", "adam_table", "scatter_slab_2048",
+                "scatter_slab_8192"]
+    pg.main()
+
+
+def stage_decide():
+    from ndjir_tpu.ops import grid as gr
+    from ndjir_tpu.ops import scatter_pallas as sp
+
+    with open(os.path.join(REPO, "docs", "probe_grid_bwd.json")) as f:
+        d = json.load(f)
+
+    def ms(k):
+        v = d.get(k, {})
+        return v.get("ms", float("inf"))
+
+    folds = {"onepass": ms("fold_onepass"), "chain": ms("fold_octa"),
+             "flat": ms("fold_flat")}
+    fold_mode = min(folds, key=folds.get)
+    if folds[fold_mode] == float("inf"):
+        fold_mode = "onepass"
+    gr._FOLD_MODE = fold_mode
+
+    slabs = {4096: ms("scatter_d32_argsort"), 2048: ms("scatter_slab_2048"),
+             8192: ms("scatter_slab_8192")}
+    slab = min(slabs, key=slabs.get)
+    if slabs[slab] == float("inf"):
+        slab = 4096
+    sp._SLAB = slab
+
+    out = {"fold_mode": fold_mode, "folds_ms": folds,
+           "slab": slab, "slabs_ms": slabs}
+    with open(DECISIONS, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[decide] {out}", flush=True)
+
+
+def stage_suite():
+    import runpy
+
+    import numpy as np
+
+    os.environ["NDJIR_BENCH_BUDGET_S"] = os.environ.get(
+        "NDJIR_SESSION_SUITE_BUDGET", "4200")
+    mod = runpy.run_path(os.path.join(REPO, "bench.py"))
+    modes = mod["run_suite"]()
+    print(json.dumps({"suite": {k: v for k, v in modes.items()}}),
+          flush=True)
+
+    vals = []
+    for i in range(3):
+        r = mod["time_one"](mod["build_conf"](), (1, 1), spc=8)
+        vals.append(round(r, 1))
+        print(f"[headline] run {i}: {r:.1f} rays/s", flush=True)
+    out = {"runs": vals, "mean": round(float(np.mean(vals)), 1),
+           "spread": round(float(np.max(vals) - np.min(vals)), 1),
+           "config": "g256 production (bf16 MLP + bf16 grid, concat-chain "
+                     "dup-table + optimization_barrier, argsort d32 "
+                     "scatter, probe-picked fold, steps_per_call=8)",
+           "date": time.strftime("%Y-%m-%d")}
+    with open(os.path.join(REPO, "docs", "headline_runs.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[headline] {out}", flush=True)
+
+
+def _run_quality(scene, workdir, outpath, epochs):
+    import runpy
+    env = {
+        "NDJIR_QUALITY_EPOCHS": str(epochs),
+        "NDJIR_QUALITY_GRID": "256",
+        "NDJIR_QUALITY_RES": "128",
+        "NDJIR_QUALITY_VIEWS": "24",
+        "NDJIR_QUALITY_SCENE": scene,
+        "NDJIR_QUALITY_WORKDIR": workdir,
+        "NDJIR_QUALITY_OUT": outpath,
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        runpy.run_path(os.path.join(REPO, "scripts", "quality_benchmark.py"),
+                       run_name="__main__")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def stage_quality():
+    _run_quality("v2", "/tmp/ndjir_quality_r5_v2", "/tmp/quality_r5_v2.json",
+                 int(os.environ.get("NDJIR_SESSION_V2_EPOCHS", "1500")))
+    _run_quality("v1", "/tmp/ndjir_quality_r5_v1", "/tmp/quality_r5_v1.json",
+                 int(os.environ.get("NDJIR_SESSION_V1_EPOCHS", "600")))
+    merge_quality()
+
+
+def merge_quality():
+    out = {}
+    for key, path in (("v2", "/tmp/quality_r5_v2.json"),
+                      ("v1", "/tmp/quality_r5_v1.json")):
+        if os.path.exists(path):
+            with open(path) as f:
+                out[key] = json.load(f)
+    # Pass bars (VERDICT r4 item 4): v2 is exactly-representable (up to MC
+    # noise + capacity), so the framework should reconstruct it well; v1
+    # includes deliberate model mismatch (Blinn-Phong + point light outside
+    # the forward family), so only geometry carries a bar there.
+    bars = {
+        "v2_psnr_masked_min": 32.0,
+        "v2_ssim_obj_min": 0.85,
+        "v1_chamfer_max": 0.01,
+    }
+    verdicts = {}
+    if "v2" in out:
+        verdicts["v2_psnr_ok"] = out["v2"].get("psnr_masked", 0) >= \
+            bars["v2_psnr_masked_min"]
+        verdicts["v2_ssim_obj_ok"] = out["v2"].get("ssim_obj", 0) >= \
+            bars["v2_ssim_obj_min"]
+    if "v1" in out:
+        verdicts["v1_chamfer_ok"] = out["v1"].get("chamfer", 1) <= \
+            bars["v1_chamfer_max"]
+    out["pass_bars"] = bars
+    out["verdicts"] = verdicts
+    with open(os.path.join(REPO, "QUALITY_r05.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+def stage_roofline():
+    import roofline_data as rd
+
+    if os.path.exists(rd.OUT_PATH):
+        with open(rd.OUT_PATH) as f:
+            data = json.load(f)
+        data.pop("cost_analysis", None)
+        with open(rd.OUT_PATH, "w") as f:
+            json.dump(data, f, indent=1)
+    rd.SECTIONS["cost_analysis"]()
+
+
+STAGES = {
+    "probes": stage_probes,
+    "decide": stage_decide,
+    "suite": stage_suite,
+    "quality": stage_quality,
+    "merge_quality": merge_quality,
+    "roofline": stage_roofline,
+}
+
+
+def main():
+    which = os.environ.get(
+        "NDJIR_SESSION_STAGES", "probes,decide,suite,quality,roofline")
+    for name in [s.strip() for s in which.split(",") if s.strip()]:
+        print(f"=== stage {name} ===", flush=True)
+        t0 = time.time()
+        try:
+            STAGES[name]()
+        except Exception:
+            traceback.print_exc()
+            print(f"[{name}] FAILED (continuing)", flush=True)
+        print(f"=== stage {name} done in {time.time() - t0:.0f}s ===",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
