@@ -188,13 +188,20 @@ def _fold_dup_axis(c: jax.Array, axis: int) -> jax.Array:
 
 
 # NDJIR_FOLD_MODE selects the octa cotangent-fold formulation:
-#   onepass  single-pass 8-shifted-slice fold (round-5 default candidate)
-#   chain    the round-4 3-pass halving chain
-#   flat     one pad+slice bulk shift per block + boundary-plane edge
-#            corrections (no nested concat chains; round-5 candidate)
+#   chain    the round-4 3-pass halving chain on the (8D, G, G, G) view —
+#            41 ms at G=256 on-chip (docs/probe_grid_bwd.json)
+#   onepass  single-pass 8-shifted-slice fold — 58 ms measured: the lower
+#            LOGICAL traffic loses to XLA's per-term materialization of the
+#            nested shifts; a committed negative result
+#   flat     pad+slice bulk + boundary-plane corrections — 61 ms, same story
+#   flat2d   3-pass halving chain working DIRECTLY in the scatter kernel's
+#            native (channels, G^3) layout: every shift is a lane shift of
+#            the flat minor dim with iota-derived validity/edge masks, so no
+#            reshape of the 2 GB cotangent onto a (G, G, G) tiling ever
+#            happens (the relayouts are what the 4-D forms pay)
 # NDJIR_FOLD_ONEPASS=0 is kept as an alias for chain (round-4 scripts).
 _FOLD_MODE = os.environ.get("NDJIR_FOLD_MODE", "") or (
-    "chain" if os.environ.get("NDJIR_FOLD_ONEPASS", "1") == "0" else "onepass")
+    "chain" if os.environ.get("NDJIR_FOLD_ONEPASS", "1") == "0" else "chain")
 
 
 def _shift_edge_adjoint(f: jax.Array, axis: int) -> jax.Array:
@@ -275,6 +282,42 @@ def _fold_octa_cotangent_flat(cot_t: jax.Array, gshape) -> jax.Array:
     return jnp.moveaxis(out, 0, -1)
 
 
+def _fold_halve_flat(c: jax.Array, delta: int, L: int) -> jax.Array:
+    """One halving pass of the duplicated-table adjoint in the scatter
+    kernel's native flat (C, M) layout: the duplicated channel half b
+    references flat position i + delta (clamped when the folded-axis
+    coordinate hits L-1; coord(i) = (i // delta) % L), so its adjoint is a
+    LANE shift plus iota-derived masks — no reshape of the cotangent onto a
+    (G, G, G) tiling:
+
+        a_new[i] = a[i] + b[i - delta]*[coord(i) >= 1]
+                        + b[i]*[coord(i) == L - 1]
+    """
+    C = c.shape[0] // 2
+    a, b = c[:C], c[C:]
+    M = c.shape[1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    coord = (i // delta) % L
+    shifted = jnp.concatenate(
+        [jnp.zeros((C, delta), c.dtype), b[:, :M - delta]], axis=1)
+    zero = jnp.zeros((), c.dtype)
+    return a + jnp.where(coord >= 1, shifted, zero) \
+        + jnp.where(coord == L - 1, b, zero)
+
+
+def _fold_octa_cotangent_flat2d(cot_t: jax.Array, gshape) -> jax.Array:
+    """3-pass halving fold entirely in the (channels, G^3) flat layout
+    (fold x, then y, then z — the inverse of the _voxel_octa_flat build
+    order), finishing with the single (D, M) -> (M, D) transpose into the
+    base-table shape."""
+    Gx, Gy, Gz, D = gshape
+    c = cot_t
+    c = _fold_halve_flat(c, Gy * Gz, Gx)
+    c = _fold_halve_flat(c, Gz, Gy)
+    c = _fold_halve_flat(c, 1, Gz)
+    return jnp.transpose(c, (1, 0)).reshape(Gx, Gy, Gz, D)
+
+
 def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     """(8D, G^3) f32 octa-row cotangent -> (Gx, Gy, Gz, D) base-table
     cotangent: the adjoint of :func:`_voxel_octa_flat` applied directly in
@@ -283,6 +326,8 @@ def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     cheaper in HBM traffic at G=256, and the 8-way duplicate sums no longer
     round through bf16).  Formulation picked by NDJIR_FOLD_MODE (see
     above); all three are adjoint-exact (tests/test_ops_grid.py)."""
+    if _FOLD_MODE == "flat2d":
+        return _fold_octa_cotangent_flat2d(cot_t, gshape)
     if _FOLD_MODE == "flat":
         return _fold_octa_cotangent_flat(cot_t, gshape)
     if _FOLD_MODE == "onepass":
@@ -301,8 +346,13 @@ def _fold_zdup_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     cotangent: the adjoint of :func:`_voxel_zdup_flat`, folded directly in
     the scatter kernel's transposed f32 layout (skips the full-table
     transpose + dtype roundtrip that autodiff-of-concat would pay — at
-    G=512 bf16 that is a ~2 GB HBM pass)."""
+    G=512 bf16 that is a ~2 GB HBM pass).  In flat2d mode the single
+    z-halving pass runs as a lane shift on the flat (2D, G^3) layout (same
+    relayout-avoidance argument as the octa flat2d fold)."""
     Gx, Gy, Gz, D = gshape
+    if _FOLD_MODE == "flat2d":
+        c = _fold_halve_flat(cot_t, 1, Gz)
+        return jnp.transpose(c, (1, 0)).reshape(Gx, Gy, Gz, D)
     c = cot_t.reshape(2 * D, Gx, Gy, Gz)
     c = _fold_dup_axis(c, 3)
     return jnp.transpose(c, (1, 2, 3, 0))

@@ -311,6 +311,36 @@ def main():
                     return flat_fold(c + e, G).sum()
                 save(name, {"ms": round(timeit(f, cot), 2),
                             "max_err_vs_chain": err})
+            elif name in ("fold_2d", "fold_2d_notrans"):
+                # flat2d: the 3-pass halving chain in the scatter kernel's
+                # native (channels, G^3) layout — lane shifts + iota masks,
+                # no reshape of the cotangent onto a (G,G,G) tiling
+                small = cot[:, :64 ** 3]
+
+                def chain64(c):
+                    cc = c.reshape(8 * D, 64, 64, 64)
+                    cc = gr._fold_dup_axis(cc, 1)
+                    cc = gr._fold_dup_axis(cc, 2)
+                    cc = gr._fold_dup_axis(cc, 3)
+                    return jnp.transpose(cc, (1, 2, 3, 0))
+                ref = jax.jit(chain64)(small)
+                alt = jax.jit(lambda c: gr._fold_octa_cotangent_flat2d(
+                    c, (64, 64, 64, D)))(small)
+                err = float(jnp.max(jnp.abs(ref - alt)))
+
+                if name == "fold_2d":
+                    def f(e, c):
+                        return gr._fold_octa_cotangent_flat2d(
+                            c + e, (G, G, G, D)).sum()
+                else:
+                    def f(e, c):
+                        cc = c + e
+                        cc = gr._fold_halve_flat(cc, G * G, G)
+                        cc = gr._fold_halve_flat(cc, G, G)
+                        cc = gr._fold_halve_flat(cc, 1, G)
+                        return cc.sum()
+                save(name, {"ms": round(timeit(f, cot), 2),
+                            "max_err_vs_chain": err})
             elif name == "adam_table":
                 m = jnp.zeros((G, G, G, D), jnp.float32)
                 v = jnp.zeros((G, G, G, D), jnp.float32)
