@@ -150,11 +150,26 @@ def main():
                "fold_octa", "fold_notrans", "fold_onepass", "adam_table",
                "gather_vjp", "block_base", "block_master"] \
         + [f"scatter_slab_{s}" for s in SLABS]
+    # Per-variant wall-clock guard: the remote compile helper HANGS (not
+    # errors) on certain programs (block_master's strided-slice views, the
+    # 33-operand d=32 multiop sort scatter — both >25 min frozen, measured
+    # 2026-08-20).  SIGALRM turns a hang into a recorded per-variant error
+    # so one pathological compile cannot stall the whole chip session.
+    import signal
+
+    budget_s = int(os.environ.get("NDJIR_PROBE_VARIANT_TIMEOUT", "600"))
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f"variant exceeded {budget_s}s (compile hang)")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     which = sys.argv[1:] or default
     for name in which:
         if name in done and "error" not in done[name]:
             print(f"[{name}] cached {done[name]}", flush=True)
             continue
+        signal.alarm(budget_s)
         try:
             if name == "build_octa":
                 def f(e, t):
@@ -471,6 +486,8 @@ def main():
                                         2)})
         except Exception as exc:
             save(name, {"error": str(exc)[:300]})
+        finally:
+            signal.alarm(0)
 
 
 if __name__ == "__main__":
