@@ -203,7 +203,30 @@ STAGES = {
 }
 
 
+def preflight(max_tries: int = 12, wait_s: float = 90.0) -> bool:
+    """Wait for the backend to actually execute (the claim can be granted
+    while the device is still in FailedPrecondition for ~minutes after a
+    previous client died mid-session; measured 2026-08-20 — a session that
+    starts anyway burns every stage in seconds with backend errors)."""
+    import jax
+    import jax.numpy as jnp
+
+    for i in range(max_tries):
+        try:
+            v = float(jnp.ones(()).astype(jnp.float32).block_until_ready())
+            print(f"[preflight] backend ok (try {i}): {v}", flush=True)
+            return True
+        except Exception as exc:
+            print(f"[preflight] try {i}: {str(exc)[:120]}", flush=True)
+            time.sleep(wait_s)
+    return False
+
+
 def main():
+    if not preflight():
+        print("[preflight] backend never became healthy; aborting session",
+              flush=True)
+        return
     which = os.environ.get(
         "NDJIR_SESSION_STAGES", "probes,decide,suite,quality,roofline")
     for name in [s.strip() for s in which.split(",") if s.strip()]:
