@@ -198,10 +198,11 @@ def _fold_dup_axis(c: jax.Array, axis: int) -> jax.Array:
 #            native (channels, G^3) layout: every shift is a lane shift of
 #            the flat minor dim with iota-derived validity/edge masks, so no
 #            reshape of the 2 GB cotangent onto a (G, G, G) tiling ever
-#            happens (the relayouts are what the 4-D forms pay)
+#            happens (the relayouts are what the 4-D forms pay) — 27.4 ms
+#            measured, the production default
 # NDJIR_FOLD_ONEPASS=0 is kept as an alias for chain (round-4 scripts).
 _FOLD_MODE = os.environ.get("NDJIR_FOLD_MODE", "") or (
-    "chain" if os.environ.get("NDJIR_FOLD_ONEPASS", "1") == "0" else "chain")
+    "chain" if os.environ.get("NDJIR_FOLD_ONEPASS", "1") == "0" else "flat2d")
 
 
 def _shift_edge_adjoint(f: jax.Array, axis: int) -> jax.Array:

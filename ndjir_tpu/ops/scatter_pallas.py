@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SLAB = int(os.environ.get("NDJIR_SCATTER_SLAB", 4096))   # rows per instance
+_SLAB = int(os.environ.get("NDJIR_SCATTER_SLAB", 2048))   # rows per instance
+# slab sweep at the production workload (524k d=32 rows, argsort sort):
+# 2048 -> 16.01 ms, 4096 -> 16.38, 8192 -> 19.91 (docs/probe_grid_bwd.json)
 _CHUNK = int(os.environ.get("NDJIR_SCATTER_CHUNK", 128))   # rows per DMA
 _SUB = 128        # rows per one-hot/matmul sub-step
 assert _CHUNK % _SUB == 0 and _CHUNK >= _SUB, \
