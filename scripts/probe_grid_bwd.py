@@ -356,6 +356,24 @@ def main():
                         return cc.sum()
                 save(name, {"ms": round(timeit(f, cot), 2),
                             "max_err_vs_chain": err})
+            elif name in ("fold_zdup512_4d", "fold_zdup512_2d"):
+                # z-dup fold A/B at G=512 (the G=512 production backward):
+                # 4-D reshape form vs the flat2d lane-shift form
+                G5 = 512
+                cot5 = jax.random.normal(jax.random.PRNGKey(9),
+                                         (8, G5 ** 3 // 2), jnp.float32)
+                cot5 = jnp.concatenate([cot5, cot5], axis=1)  # (8, G5^3)
+                gshape5 = (G5, G5, G5, 4)
+                if name == "fold_zdup512_4d":
+                    def f(e, c):
+                        cc = (c + e).reshape(8, G5, G5, G5)
+                        cc = gr._fold_dup_axis(cc, 3)
+                        return jnp.transpose(cc, (1, 2, 3, 0)).sum()
+                else:
+                    def f(e, c):
+                        cc = gr._fold_halve_flat(c + e, 1, G5)
+                        return jnp.transpose(cc, (1, 0)).sum()
+                save(name, {"ms": round(timeit(f, cot5), 2)})
             elif name == "adam_table":
                 m = jnp.zeros((G, G, G, D), jnp.float32)
                 v = jnp.zeros((G, G, G, D), jnp.float32)

@@ -56,10 +56,15 @@ def test_kernel_extreme_distributions(interp_scatter, rng):
         assert got[r, c] == pytest.approx(1.0)
 
 
-def test_transposed_kernel_matches_xla_oracle(interp_scatter, rng):
+@pytest.mark.parametrize("d", [8, 32])
+def test_transposed_kernel_matches_xla_oracle(interp_scatter, rng, d):
+    """d=8 takes the multiop sort default, d=32 the argsort default
+    (_sort_mode_for) — both against the numpy oracle."""
     import jax.numpy as jnp
 
-    n, m, d = (3000, 12288, 8)
+    n, m = (3000, 12288)
+    assert interp_scatter._sort_mode_for(d) == \
+        ("argsort" if d > 8 else "multiop")
     ids = rng.randint(0, m, (n,)).astype(np.int32)
     vals = rng.randn(n, d).astype(np.float32)
     ref = np.zeros((m, d), np.float32)
