@@ -327,6 +327,14 @@ def _fold_octa_cotangent(cot_t: jax.Array, gshape) -> jax.Array:
     cheaper in HBM traffic at G=256, and the 8-way duplicate sums no longer
     round through bf16).  Formulation picked by NDJIR_FOLD_MODE (see
     above); all three are adjoint-exact (tests/test_ops_grid.py)."""
+    if _FOLD_MODE == "pallas":
+        from ndjir_tpu.ops.fold_pallas import (
+            fold_octa_cotangent_pallas,
+            fold_pallas_supported,
+        )
+        if fold_pallas_supported(gshape):
+            return fold_octa_cotangent_pallas(cot_t, gshape)
+        return _fold_octa_cotangent_flat2d(cot_t, gshape)
     if _FOLD_MODE == "flat2d":
         return _fold_octa_cotangent_flat2d(cot_t, gshape)
     if _FOLD_MODE == "flat":

@@ -356,6 +356,21 @@ def main():
                         return cc.sum()
                 save(name, {"ms": round(timeit(f, cot), 2),
                             "max_err_vs_chain": err})
+            elif name.startswith("fold_pallas"):
+                # the Pallas fold kernel (ops/fold_pallas.py); suffix picks
+                # the lane-block size, e.g. fold_pallas_65536
+                from ndjir_tpu.ops import fold_pallas as fpk
+                blk = int(name.rsplit("_", 1)[1]) \
+                    if name[len("fold_pallas"):].strip("_").isdigit() \
+                    else fpk._BLOCK
+                # correctness is pinned by the interpret-mode tests
+                # (tests/test_fold_pallas.py); assert support at G=256
+                assert fpk.fold_pallas_supported((G, G, G, D))
+
+                def f(e, c, blk=blk):
+                    return fpk.fold_octa_cotangent_pallas(
+                        c + e, (G, G, G, D), blk).sum()
+                save(name, {"ms": round(timeit(f, cot), 2), "block": blk})
             elif name in ("fold_zdup512_4d", "fold_zdup512_2d"):
                 # z-dup fold A/B at G=512 (the G=512 production backward):
                 # 4-D reshape form vs the flat2d lane-shift form

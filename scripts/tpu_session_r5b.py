@@ -181,6 +181,69 @@ def merge_quality():
     print(json.dumps(out), flush=True)
 
 
+def stage_postfold():
+    """Leftover-window work: probe the Pallas fold kernel (+ the G=512
+    z-dup fold A/B); if the Pallas fold beats flat2d, switch the fold mode
+    in-process and re-bench the headline mode (merging into
+    BENCH_MODES.json + refreshing headline_runs.json).  The builder flips
+    the committed default to match the printed decision."""
+    import probe_grid_bwd as pg
+
+    sys.argv = ["probe_grid_bwd", "fold_pallas_131072", "fold_pallas_262144",
+                "fold_zdup512_4d", "fold_zdup512_2d"]
+    pg.main()
+
+    with open(os.path.join(REPO, "docs", "probe_grid_bwd.json")) as f:
+        d = json.load(f)
+
+    def ms(k):
+        return d.get(k, {}).get("ms", float("inf"))
+
+    best_pallas = min(ms("fold_pallas_131072"), ms("fold_pallas_262144"))
+    flat2d = ms("fold_2d")
+    print(json.dumps({"postfold_decision": {
+        "pallas_ms": best_pallas, "flat2d_ms": flat2d,
+        "pallas_block": 131072
+        if ms("fold_pallas_131072") <= ms("fold_pallas_262144") else 262144,
+        "use_pallas": best_pallas < flat2d}}), flush=True)
+    if best_pallas < flat2d:
+        from ndjir_tpu.ops import fold_pallas as fpk
+        from ndjir_tpu.ops import grid as gr
+        if ms("fold_pallas_262144") < ms("fold_pallas_131072"):
+            fpk._BLOCK = 262144
+        gr._FOLD_MODE = "pallas"
+
+        import runpy
+
+        import numpy as np
+
+        mod = runpy.run_path(os.path.join(REPO, "bench.py"))
+        rev = mod["_git_rev"]()
+        r = mod["time_one"](mod["build_conf"](), (1, 1), spc=8)
+        modes = mod["_load_modes"]()
+        modes["g256_production"] = {
+            "rays_per_s": round(r, 1),
+            "vs_baseline": round(r / mod["BASELINE_RAYS_PER_S"], 3),
+            "rev": rev, "date": time.strftime("%Y-%m-%d"),
+            "steps_per_call": 8}
+        with open(mod["MODES_PATH"], "w") as f:
+            json.dump(modes, f, indent=1)
+        print(json.dumps({"metric": "g256_production_pallas_fold",
+                          "value": round(r, 1), "unit": "rays/s"}),
+              flush=True)
+        vals = [round(mod["time_one"](mod["build_conf"](), (1, 1), spc=8), 1)
+                for _ in range(2)] + [round(r, 1)]
+        out = {"runs": vals, "mean": round(float(np.mean(vals)), 1),
+               "spread": round(float(np.max(vals) - np.min(vals)), 1),
+               "config": "g256 production (bf16, argsort d32 scatter, "
+                         "Pallas fold, steps_per_call=8)",
+               "date": time.strftime("%Y-%m-%d")}
+        with open(os.path.join(REPO, "docs", "headline_runs.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"[postfold headline] {out}", flush=True)
+
+
 def stage_roofline():
     import roofline_data as rd
 
@@ -199,6 +262,7 @@ STAGES = {
     "suite": stage_suite,
     "quality": stage_quality,
     "merge_quality": merge_quality,
+    "postfold": stage_postfold,
     "roofline": stage_roofline,
 }
 
