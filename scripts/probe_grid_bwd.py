@@ -375,9 +375,11 @@ def main():
                 # z-dup fold A/B at G=512 (the G=512 production backward):
                 # 4-D reshape form vs the flat2d lane-shift form
                 G5 = 512
-                cot5 = jax.random.normal(jax.random.PRNGKey(9),
-                                         (8, G5 ** 3 // 2), jnp.float32)
-                cot5 = jnp.concatenate([cot5, cot5], axis=1)  # (8, G5^3)
+                # ONE 4.3 GB alloc (a concat-of-halves doubled the peak and
+                # ResourceExhausted'd the first attempt, 2026-08-20)
+                cot5 = jax.jit(lambda: jax.random.normal(
+                    jax.random.PRNGKey(9), (8, G5 ** 3), jnp.float32))()
+                cot5.block_until_ready()
                 gshape5 = (G5, G5, G5, 4)
                 if name == "fold_zdup512_4d":
                     def f(e, c):
